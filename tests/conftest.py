@@ -12,3 +12,10 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compilation cache: the limb-arithmetic graphs are sizeable and
+# identical across test runs.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/stark_mlwe_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
