@@ -1,0 +1,443 @@
+"""Batched m-ary Poseidon Merkle tree engine on TPU.
+
+Device counterpart of /root/reference/crates/merkle/src/lib.rs, bit-exact
+against `stark_mlwe_tpu.spec.merkle`:
+
+  - tree build is level-by-level batched sponge hashing on device: each
+    level is ONE (or two, with a partial tail group) fused
+    reshape->Poseidon call over all parents (merkle/src/lib.rs:147-193
+    semantics, incl. the DsLabel 4-field preamble :57-74,:166-178),
+  - pair-leaf trees hash (f, cp) with the LEAF_LEVEL_DS sentinel
+    (:378-445), legacy t=17 trees chunk by RATE with the tag in the
+    capacity lane (:196-223,:448-483),
+  - union-of-paths multiproofs (:246-315) are assembled host-side from
+    gathered device nodes (tiny), producing spec `MerkleProof` objects,
+  - verifiers mirror the spec frontier reconstruction (:487-773) but
+    batch each level's parent hashes into one device call, padded to
+    power-of-two group counts so XLA shapes are reused across proofs.
+
+Digests live on device in Montgomery form; host ints are materialized
+only for proof assembly and transcript absorption.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fr
+from ..ops import poseidon as dpos
+from ..spec.merkle import (LEAF_LEVEL_DS, MerkleChannelCfg, MerkleProof,
+                           default_params)
+from ..spec.poseidon import PoseidonParams, width_for_arity
+
+
+# ---------------------------------------------------------------------------
+# DS label rows.
+# ---------------------------------------------------------------------------
+
+def ds_rows_mont(arity: int, level: int, positions, tree_label: int):
+    """[g, 4, 16] Montgomery DS preambles (DsLabel::to_fields order)."""
+    pos = np.asarray(positions, dtype=np.uint64).reshape(-1)
+    g = pos.shape[0]
+    m = np.empty((g, 4), dtype=np.uint64)
+    m[:, 0] = arity
+    m[:, 1] = level
+    m[:, 2] = pos
+    m[:, 3] = tree_label
+    canon = jnp.asarray(fr.pack_u64s(m.reshape(-1)))
+    return fr.to_mont(canon).reshape(g, 4, fr.N)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _hash_level_ds(ds_rows, chunks, dp):
+    return dpos.sponge_hash_ds_dynamic(ds_rows, chunks, dp)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _hash_level_legacy(chunks, ds_tag_mont, dp):
+    return dpos.sponge_hash_ds_legacy(chunks, ds_tag_mont, dp)
+
+
+# ---------------------------------------------------------------------------
+# Tree object (duck-types the spec MerkleTree for open_many/root).
+# ---------------------------------------------------------------------------
+
+class DeviceMerkleTree:
+    """Per-level device digest arrays ([n_l, 16] Montgomery limbs)."""
+
+    def __init__(self, levels_dev, arity, cfg=None, ds_tag=0, params=None):
+        self.levels_dev = levels_dev
+        self.arity = arity
+        self.cfg = cfg
+        self.ds_tag = ds_tag
+        self.params = params
+
+    def root(self) -> int:
+        return fr.unpack_ints(fr.from_mont(self.levels_dev[-1]))[0]
+
+    def height(self) -> int:
+        return len(self.levels_dev) - 1
+
+    def num_leaves(self) -> int:
+        return int(self.levels_dev[0].shape[0])
+
+    def node_ints(self, level: int, indices) -> list:
+        """Canonical digests of the given nodes at `level` (one gather)."""
+        if len(indices) == 0:
+            return []
+        arr = self.levels_dev[level]
+        g = jnp.take(arr, jnp.asarray(np.asarray(indices, np.int32)), axis=0)
+        return fr.unpack_ints(fr.from_mont(g))
+
+    def open_many(self, indices) -> MerkleProof:
+        """Union-of-paths multiproof (merkle/src/lib.rs:246-315), built
+        host-side with one sibling gather per level."""
+        assert len(indices) > 0, "open_many: empty indices"
+        arity = self.arity
+        cur = sorted(set(int(i) for i in indices))
+        n0 = self.num_leaves()
+        assert all(0 <= i < n0 for i in cur)
+
+        siblings_per_level = []
+        group_sizes_per_level = []
+        for level in range(self.height()):
+            n_level = int(self.levels_dev[level].shape[0])
+            groups: dict = {}
+            for i in cur:
+                groups.setdefault(i // arity, []).append(i % arity)
+
+            sib_indices = []
+            level_group_sizes = []
+            for parent_idx in sorted(groups):
+                opened = set(groups[parent_idx])
+                base = parent_idx * arity
+                child_count = min(base + arity, n_level) - base
+                level_group_sizes.append(child_count)
+                for cpos in range(child_count):
+                    if cpos not in opened:
+                        sib_indices.append(base + cpos)
+            siblings_per_level.append(self.node_ints(level, sib_indices))
+            group_sizes_per_level.append(level_group_sizes)
+            cur = sorted(set(i // arity for i in cur))
+
+        return MerkleProof(sorted(set(int(i) for i in indices)),
+                           siblings_per_level, group_sizes_per_level, arity)
+
+    open_many_single = open_many
+
+
+# ---------------------------------------------------------------------------
+# Builders.
+# ---------------------------------------------------------------------------
+
+def build_tree(leaves_mont, cfg: MerkleChannelCfg) -> DeviceMerkleTree:
+    """Single-column DS-aware tree (merkle/src/lib.rs:147-193)."""
+    assert width_for_arity(cfg.arity) == cfg.params.t
+    dp = dpos.device_params(cfg.params)
+    arity = cfg.arity
+    levels = [leaves_mont]
+    level = 0
+    cur = leaves_mont
+    while cur.shape[0] > 1:
+        n = int(cur.shape[0])
+        full = n // arity
+        outs = []
+        if full:
+            ds = ds_rows_mont(arity, level, np.arange(full, dtype=np.uint64),
+                              cfg.tree_label)
+            chunks = cur[:full * arity].reshape(full, arity, fr.N)
+            outs.append(_hash_level_ds(ds, chunks, dp))
+        if n % arity:
+            ds = ds_rows_mont(arity, level, np.array([full], np.uint64),
+                              cfg.tree_label)
+            chunk = cur[full * arity:].reshape(1, n - full * arity, fr.N)
+            outs.append(_hash_level_ds(ds, chunk, dp))
+        cur = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        levels.append(cur)
+        level += 1
+    return DeviceMerkleTree(levels, arity, cfg=cfg)
+
+
+def hash_pair_leaves(f_mont, cp_mont, cfg: MerkleChannelCfg):
+    """Leaf digests H(ds(arity, LEAF_LEVEL, idx, label) || [f, cp])
+    (merkle/src/lib.rs:378-388), batched."""
+    n = int(f_mont.shape[0])
+    dp = dpos.device_params(cfg.params)
+    ds = ds_rows_mont(cfg.arity, LEAF_LEVEL_DS,
+                      np.arange(n, dtype=np.uint64), cfg.tree_label)
+    inputs = jnp.stack([f_mont, cp_mont], axis=1)
+    return _hash_level_ds(ds, inputs, dp)
+
+
+def build_tree_pairs(f_mont, cp_mont, cfg: MerkleChannelCfg):
+    return build_tree(hash_pair_leaves(f_mont, cp_mont, cfg), cfg)
+
+
+def build_tree_legacy(leaves_mont, ds_tag: int,
+                      params: PoseidonParams) -> DeviceMerkleTree:
+    """Legacy t=17 tree, chunked by RATE, tag in capacity
+    (merkle/src/lib.rs:196-223)."""
+    dp = dpos.device_params(params)
+    rate = params.rate
+    tag_m = jnp.asarray(fr.pack_int(ds_tag, mont=True))
+    levels = [leaves_mont]
+    cur = leaves_mont
+    while cur.shape[0] > 1:
+        n = int(cur.shape[0])
+        full = n // rate
+        outs = []
+        if full:
+            chunks = cur[:full * rate].reshape(full, rate, fr.N)
+            outs.append(_hash_level_legacy(chunks, tag_m, dp))
+        if n % rate:
+            chunk = cur[full * rate:].reshape(1, n - full * rate, fr.N)
+            outs.append(_hash_level_legacy(chunk, tag_m, dp))
+        cur = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        levels.append(cur)
+    return DeviceMerkleTree(levels, rate, ds_tag=ds_tag, params=params)
+
+
+def build_tree_pairs_legacy(f_mont, cp_mont, ds_tag: int,
+                            params: PoseidonParams) -> DeviceMerkleTree:
+    dp = dpos.device_params(params)
+    tag_m = jnp.asarray(fr.pack_int(ds_tag, mont=True))
+    inputs = jnp.stack([f_mont, cp_mont], axis=1)
+    leaves = _hash_level_legacy(inputs, tag_m, dp)
+    return build_tree_legacy(leaves, ds_tag, params)
+
+
+# ---------------------------------------------------------------------------
+# Fast verifiers: spec frontier reconstruction with batched device hashing.
+# ---------------------------------------------------------------------------
+
+def _next_pow2(x: int) -> int:
+    m = 1
+    while m < x:
+        m *= 2
+    return m
+
+
+def _hash_groups_ds(entries, arity, level, tree_label, params):
+    """entries: list[(parent_idx, children_ints)] with equal child counts.
+    Returns canonical digests (batched device call, padded to pow2)."""
+    g = len(entries)
+    gp = _next_pow2(g)
+    cc = len(entries[0][1])
+    rows = [e[1] for e in entries] + [entries[0][1]] * (gp - g)
+    pos = [e[0] for e in entries] + [entries[0][0]] * (gp - g)
+    dp = dpos.device_params(params)
+    flat = [v for row in rows for v in row]
+    inputs = jnp.asarray(fr.pack_ints(flat, mont=True)).reshape(gp, cc, fr.N)
+    ds = ds_rows_mont(arity, level, np.array(pos, np.uint64), tree_label)
+    out = _hash_level_ds(ds, inputs, dp)
+    return fr.unpack_ints(out, mont=True)[:g]
+
+
+def _hash_groups_legacy(entries, ds_tag, params):
+    g = len(entries)
+    gp = _next_pow2(g)
+    cc = len(entries[0][1])
+    rows = [e[1] for e in entries] + [entries[0][1]] * (gp - g)
+    dp = dpos.device_params(params)
+    tag_m = jnp.asarray(fr.pack_int(ds_tag, mont=True))
+    flat = [v for row in rows for v in row]
+    inputs = jnp.asarray(fr.pack_ints(flat, mont=True)).reshape(gp, cc, fr.N)
+    out = _hash_level_legacy(inputs, tag_m, dp)
+    return fr.unpack_ints(out, mont=True)[:g]
+
+
+def _reconstruct_fast(root, indices, values, proof: MerkleProof,
+                      hash_level_groups) -> bool:
+    """Union-of-paths frontier walk (mirrors spec merkle._reconstruct,
+    merkle/src/lib.rs:487-701) with `hash_level_groups(level, groups)`
+    batching all parent hashes of one level; groups is
+    list[(parent_idx, children_ints)]."""
+    if not indices or len(indices) != len(values):
+        return False
+    req = sorted(set(indices))
+    if proof.indices != req:
+        return False
+    if len(proof.siblings) != len(proof.group_sizes):
+        return False
+    arity = proof.arity
+
+    val_map = dict(zip(indices, values))
+    cur_indices = req
+    cur_values = [val_map[i] for i in req]
+
+    for level, (level_siblings, level_group_sizes) in enumerate(
+            zip(proof.siblings, proof.group_sizes)):
+        groups: dict = {}
+        for idx, val in zip(cur_indices, cur_values):
+            groups.setdefault(idx // arity, []).append((idx % arity, val))
+        if len(groups) != len(level_group_sizes):
+            return False
+
+        assembled = []
+        off = 0
+        for (parent_idx, opened), child_count in zip(
+                sorted(groups.items()), level_group_sizes):
+            if child_count == 0 or child_count > arity:
+                return False
+            opened = sorted(opened)
+            opened_iter = iter(opened)
+            pending = next(opened_iter, None)
+            children = []
+            for cpos in range(child_count):
+                if pending is not None and pending[0] == cpos:
+                    children.append(pending[1])
+                    pending = next(opened_iter, None)
+                else:
+                    if off >= len(level_siblings):
+                        return False
+                    children.append(level_siblings[off])
+                    off += 1
+            assembled.append((parent_idx, children))
+        if off != len(level_siblings):
+            return False
+
+        # batch hashes by child_count (at most one partial tail group size)
+        by_cc: dict = {}
+        for gi, (pidx, children) in enumerate(assembled):
+            by_cc.setdefault(len(children), []).append((gi, pidx, children))
+        digests = [None] * len(assembled)
+        for cc, items in by_cc.items():
+            outs = hash_level_groups(
+                level, [(pidx, children) for _, pidx, children in items])
+            for (gi, _, _), dig in zip(items, outs):
+                digests[gi] = dig
+
+        cur_indices = [p for p, _ in assembled]
+        cur_values = digests
+
+    return len(cur_values) == 1 and cur_values[0] == root
+
+
+def verify_many_ds(root, indices, values, proof, tree_label: int,
+                   params: PoseidonParams) -> bool:
+    """Device-accelerated verify_many_ds (merkle/src/lib.rs:587-701)."""
+    if width_for_arity(proof.arity) != params.t:
+        return False
+    return _reconstruct_fast(
+        root, indices, values, proof,
+        lambda level, groups: _hash_groups_ds(
+            groups, proof.arity, level, tree_label, params))
+
+
+def verify_many_legacy(root, indices, values, proof, ds_tag: int,
+                       params: PoseidonParams) -> bool:
+    """Device-accelerated legacy verify_many (merkle/src/lib.rs:487-584)."""
+    return _reconstruct_fast(
+        root, indices, values, proof,
+        lambda level, groups: _hash_groups_legacy(groups, ds_tag, params))
+
+
+def verify_pairs_ds(root, indices, pairs, proof, tree_label: int,
+                    params: PoseidonParams) -> bool:
+    """Device-accelerated verify_pairs_ds (merkle/src/lib.rs:723-773)."""
+    if len(indices) != len(pairs) or not indices:
+        return False
+    if width_for_arity(proof.arity) != params.t:
+        return False
+    pair_map = dict(zip(indices, pairs))
+    req = sorted(set(indices))
+    ordered = [pair_map[i] for i in req]
+    g = len(req)
+    gp = _next_pow2(g)
+    flat = []
+    for f, cp in ordered + [ordered[0]] * (gp - g):
+        flat.extend((f, cp))
+    arr = jnp.asarray(fr.pack_ints(flat, mont=True)).reshape(gp, 2, fr.N)
+    cfg = MerkleChannelCfg(proof.arity, params, tree_label)
+    dp = dpos.device_params(params)
+    pos = np.array(req + [req[0]] * (gp - g), np.uint64)
+    ds = ds_rows_mont(proof.arity, LEAF_LEVEL_DS, pos, tree_label)
+    leaves = fr.unpack_ints(_hash_level_ds(ds, arr, dp), mont=True)[:g]
+    return verify_many_ds(root, req, leaves, proof, tree_label, params)
+
+
+def verify_pairs_legacy(root, indices, pairs, proof, ds_tag: int,
+                        params: PoseidonParams) -> bool:
+    """Device-accelerated verify_pairs legacy (merkle/src/lib.rs:704-720)."""
+    if len(indices) != len(pairs) or not indices:
+        return False
+    entries = [(0, [f, cp]) for f, cp in pairs]
+    leaves = _hash_groups_legacy(entries, ds_tag, params)
+    return verify_many_legacy(root, indices, leaves, proof, ds_tag, params)
+
+
+# ---------------------------------------------------------------------------
+# Facades mirroring merkle/src/lib.rs:777-905.
+# ---------------------------------------------------------------------------
+
+class MerkleProver:
+    """Device-backed ergonomic facade (merkle/src/lib.rs:777-855).
+
+    commit_* take host int lists or prepacked Montgomery device arrays.
+    """
+
+    def __init__(self, cfg: MerkleChannelCfg):
+        self.cfg = cfg
+
+    def _mont(self, xs):
+        if isinstance(xs, (list, tuple)):
+            return jnp.asarray(fr.pack_ints(list(xs), mont=True))
+        return xs
+
+    def commit_single(self, leaves):
+        tree = build_tree(self._mont(leaves), self.cfg)
+        return tree.root(), tree
+
+    def open_single(self, tree, indices):
+        return tree.open_many(indices)
+
+    def verify_single(self, root, indices, leaves, proof) -> bool:
+        return verify_many_ds(root, indices, leaves, proof,
+                              self.cfg.tree_label, self.cfg.params)
+
+    def commit_pairs(self, f_vals, cp_vals):
+        tree = build_tree_pairs(self._mont(f_vals), self._mont(cp_vals),
+                                self.cfg)
+        return tree.root(), tree
+
+    def open_pairs(self, tree, f_vals, cp_vals, indices):
+        uniq = sorted(set(indices))
+        pairs = [(f_vals[i], cp_vals[i]) for i in uniq]
+        return pairs, tree.open_many(uniq)
+
+    def verify_pairs(self, root, indices, pairs, proof) -> bool:
+        return verify_pairs_ds(root, indices, pairs, proof,
+                               self.cfg.tree_label, self.cfg.params)
+
+
+class LegacyMerkleProver:
+    """Device-backed legacy facade (merkle/src/lib.rs:857-905)."""
+
+    def __init__(self, ds_tag: int, params: PoseidonParams | None = None):
+        self.ds_tag = ds_tag
+        self.params = params if params is not None else default_params()
+
+    def _mont(self, xs):
+        if isinstance(xs, (list, tuple)):
+            return jnp.asarray(fr.pack_ints(list(xs), mont=True))
+        return xs
+
+    def commit_pairs(self, f_vals, cp_vals):
+        tree = build_tree_pairs_legacy(self._mont(f_vals),
+                                       self._mont(cp_vals),
+                                       self.ds_tag, self.params)
+        return tree.root(), tree
+
+    def open_pairs(self, tree, f_vals, cp_vals, indices):
+        uniq = sorted(set(indices))
+        pairs = [(f_vals[i], cp_vals[i]) for i in uniq]
+        return pairs, tree.open_many(uniq)
+
+    def verify_pairs(self, root, indices, pairs, proof) -> bool:
+        return verify_pairs_legacy(root, indices, pairs, proof, self.ds_tag,
+                                   self.params)

@@ -102,6 +102,16 @@ def pack_int(x: int, mont: bool = False) -> np.ndarray:
     return pack_ints([x], mont=mont)[0]
 
 
+def pack_u64s(vals) -> np.ndarray:
+    """u64 value array -> [n, 16] canonical limbs (no reduction needed)."""
+    v = np.asarray(vals, dtype=np.uint64).reshape(-1)
+    out = np.zeros((v.shape[0], N), np.uint32)
+    for k in range(4):
+        out[:, k] = ((v >> np.uint64(BITS * k))
+                     & np.uint64(MASK)).astype(np.uint32)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Limb-column helpers (internal representation: list of u32 arrays).
 # ---------------------------------------------------------------------------
