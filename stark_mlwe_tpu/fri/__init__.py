@@ -1,0 +1,388 @@
+"""Device DEEP-ALI + m-ary FRI prover/verifier.
+
+Mirrors /root/reference/crates/deep_ali/src/fri.rs end to end (golden spec
+in `spec.fri`), with the hot path on device:
+
+  - folds are ONE fused `fr.mat_apply` with the z-power row vector
+    (a [n/m, m] x [m] contraction with a single Montgomery reduction per
+    output; fri.rs:85-102),
+  - s-layers are broadcast reshapes (fri.rs:123-143),
+  - hashed-leaf commits batch one transcript permutation per leaf
+    (fri.rs:38-44) and the Merkle levels hash on device,
+  - Fiat-Shamir control flow (z_l sampling, roots seed, query indices)
+    stays host-side and bit-exact (tiny), reusing the golden spec -
+    including `fri_prove_queries` and the proof structures, which operate
+    on the device trees through duck typing,
+  - the verifier mirrors spec.fri.deep_fri_verify with batched device
+    hashing for leaf digests and Merkle path reconstruction.
+
+Proofs are bit-identical to the spec prover's output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import merkle as dmk
+from ..ops import fr
+from ..spec.field import P, fr_to_bytes, get_root_of_unity
+from ..spec.fri import (DeepFriParams, DeepFriProof, FriDomain,
+                        FriLayerBatches, FriLayerCommitment, FriProverState,
+                        FriQueryPayload, LayerOpenPayload, MerkleChannelCfg,
+                        ali_sample_z_beta_fs, deep_fri_proof_size_bytes,
+                        fri_prove_queries, fri_sample_z_ell,
+                        fs_seed_from_roots, layer_sizes_from_schedule,
+                        pick_arity_for_layer, use_hashed_leaves)
+from ..spec.rng import StdRng
+from . import deep_ali as dali
+from . import fs
+
+
+class HostFieldView:
+    """Lazy canonical-int view of a device Montgomery array [n,16]."""
+
+    def __init__(self, dev):
+        self.dev = dev
+        self._ints = None
+
+    def _mat(self):
+        if self._ints is None:
+            self._ints = fr.unpack_ints(fr.from_mont(self.dev))
+        return self._ints
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __len__(self):
+        return int(self.dev.shape[0])
+
+    def __iter__(self):
+        return iter(self._mat())
+
+
+# ---------------------------------------------------------------------------
+# Device folds.
+# ---------------------------------------------------------------------------
+
+def fold_layer_dev(f_dev, z: int, m: int):
+    """m-ary fold f'(b) = sum_t f[b*m+t] z^t (fri.rs:85-102) as one fused
+    constant-row contraction."""
+    n = int(f_dev.shape[0])
+    assert m >= 2 and n % m == 0
+    zrow = [[pow(z, t, P) for t in range(m)]]
+    A = jnp.asarray(fr.mat_scale(zrow))
+    out = fr.mat_apply(A, f_dev.reshape(n // m, m, fr.N))
+    return out[:, 0, :]
+
+
+def s_layer_dev(f_dev, folded_dev, m: int):
+    """Broadcast each parent value to its m children (fri.rs:123-143)."""
+    nb = int(folded_dev.shape[0])
+    return jnp.broadcast_to(folded_dev[:, None, :],
+                            (nb, m, fr.N)).reshape(nb * m, fr.N)
+
+
+# ---------------------------------------------------------------------------
+# Layer commits (fri.rs:269-301) on device.
+# ---------------------------------------------------------------------------
+
+def commit_layer_device(ell: int, n: int, m_ell: int, f_dev, s_dev):
+    arity = pick_arity_for_layer(n, m_ell)
+    hashed = use_hashed_leaves(arity)
+    cfg = MerkleChannelCfg.new(arity, tree_label=ell)
+    if hashed:
+        leaves = fs.hash_leaf_pairs_dev(f_dev, s_dev)
+        tree = dmk.build_tree(leaves, cfg)
+    else:
+        tree = dmk.build_tree_pairs(f_dev, s_dev, cfg)
+    return FriLayerCommitment(n, m_ell, tree.root(),
+                              HostFieldView(f_dev), HostFieldView(s_dev),
+                              hashed, tree, cfg)
+
+
+def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
+                             seed_z: int) -> FriProverState:
+    """fri.rs:231-312 with device folds/commits; FS sampling on host."""
+    L = len(schedule)
+    f_layers = [f0_dev]
+    z_layers, omega_layers = [], []
+    cur = f0_dev
+    cur_size = domain0.size
+    for ell, m in enumerate(schedule):
+        z = fri_sample_z_ell(seed_z, ell, cur_size)
+        z_layers.append(z)
+        omega_layers.append(get_root_of_unity(cur_size))
+        cur = fold_layer_dev(cur, z, m)
+        cur_size //= m
+        f_layers.append(cur)
+
+    s_layers = [s_layer_dev(f_layers[ell], f_layers[ell + 1], schedule[ell])
+                for ell in range(L)]
+    s_layers.append(jnp.zeros_like(f_layers[L]))
+
+    layers = []
+    for ell in range(L + 1):
+        m_ell = schedule[ell] if ell < L else 1
+        layers.append(commit_layer_device(
+            ell, int(f_layers[ell].shape[0]), m_ell,
+            f_layers[ell], s_layers[ell]))
+
+    return FriProverState([HostFieldView(f) for f in f_layers],
+                          [HostFieldView(s) for s in s_layers],
+                          list(schedule), layers, omega_layers, z_layers)
+
+
+# ---------------------------------------------------------------------------
+# DEEP-ALI builders (fri.rs:475-570) with device compute.
+# ---------------------------------------------------------------------------
+
+def _as_mont_dev(x):
+    if isinstance(x, (list, tuple)):
+        return jnp.asarray(fr.pack_ints(list(x), mont=True))
+    return x
+
+
+class DeviceDeepAliRealBuilder:
+    """fri.rs:498-570: FS-derives (z, beta) from the hash of the witness
+    columns, then merges on device."""
+
+    def __init__(self, r_eval_opt=None, use_blinding=False,
+                 ds_tag=b"ALI/DEEP"):
+        self.r_eval_opt = r_eval_opt
+        self.use_blinding = use_blinding
+        self.ds_tag = ds_tag
+
+    def build_f0(self, a, s, e, t, n0: int, domain: FriDomain):
+        a, s, e, t = map(_as_mont_dev, (a, s, e, t))
+        stacked = jnp.stack([a, s, e, t], axis=0)
+        ha, hs, he, ht = fs.tagged_hash_vecs(
+            [b"ALI/A", b"ALI/S", b"ALI/E", b"ALI/T"], stacked)
+        seed_f = fs.one_block_tagged_hash_batch(
+            b"ALI/seed", [[ha, hs, he, ht, n0 % P]])[0]
+        z, beta = ali_sample_z_beta_fs(self.ds_tag, n0, seed_f)
+        r_dev = (_as_mont_dev(self.r_eval_opt)
+                 if (self.use_blinding and self.r_eval_opt is not None)
+                 else None)
+        if self.use_blinding:
+            f0, _, _ = dali.merge_evals_device(a, s, e, t, domain.omega, z,
+                                               r_eval=r_dev, beta=beta)
+        else:
+            f0, _, _ = dali.merge_evals_device(a, s, e, t, domain.omega, z)
+        return f0
+
+
+class DeviceDeepAliMock:
+    """fri.rs:480-495: deterministic pseudo-random f0 (device packing)."""
+
+    def build_f0(self, a, s, e, t, n0: int, domain: FriDomain):
+        a, s, e, t = map(_as_mont_dev, (a, s, e, t))
+        stacked = jnp.stack([a, s, e, t], axis=0)
+        ha, hs, he, ht = fs.tagged_hash_vecs(
+            [b"ALI/a", b"ALI/s", b"ALI/e", b"ALI/t"], stacked)
+        seed_f = fs.one_block_tagged_hash_batch(
+            b"ALI/mock/seed", [[ha, hs, he, ht, n0 % P]])[0]
+        rng = StdRng.from_seed(fr_to_bytes(seed_f))
+        vals = [rng.gen_u64() % P for _ in range(n0)]
+        return jnp.asarray(fr.pack_ints(vals, mont=True))
+
+
+# ---------------------------------------------------------------------------
+# Query-index derivation (fri.rs:355-466) with batched seed hashing.
+# ---------------------------------------------------------------------------
+
+def _index_from_seed(seed_f: int, n_pow2: int) -> int:
+    rng = StdRng.from_seed(fr_to_bytes(seed_f))
+    return rng.gen_u64() & (n_pow2 - 1)
+
+
+def derive_query_indices_batched(roots_seed: int, schedule, r: int, sizes):
+    """All (layer, query) indices with the per-(l,q) seed hashes and the
+    rare reseed fallbacks batched into single device calls.  Bit-exact
+    with spec.fri.derive_query_index (fri.rs:374-382)."""
+    L = len(schedule)
+    pairs = [(ell, q) for ell in range(L) for q in range(r)]
+    seeds = fs.one_block_tagged_hash_batch(
+        b"FRI/index", [[roots_seed, ell % P, q % P] for ell, q in pairs])
+    out = {}
+    retry = []
+    for (ell, q), seed in zip(pairs, seeds):
+        n = sizes[ell]
+        n_pow2 = 1 << (n - 1).bit_length() if n > 1 else 1
+        i0 = _index_from_seed(seed, n_pow2)
+        if i0 < n:
+            out[(ell, q)] = i0
+        else:
+            retry.append(((ell, q), seed, n, n_pow2))
+    if retry:
+        reseeds = fs.one_block_tagged_hash_batch(
+            b"FRI/index", [[seed, 1] for _, seed, _, _ in retry])
+        for ((ell, q), _, n, n_pow2), rs in zip(retry, reseeds):
+            i2 = _index_from_seed(rs, n_pow2)
+            out[(ell, q)] = i2 if i2 < n else i2 & (n - 1)
+    return out
+
+
+def fri_prove_queries_dev(st: FriProverState, r: int, roots_seed: int):
+    """fri.rs:355-466 with batched index derivation; proof assembly is
+    identical to spec.fri.fri_prove_queries."""
+    from ..spec.fri import LayerBatchProof, LayerQueryRef
+
+    L = len(st.schedule)
+    sizes = [lay.n for lay in st.layers]
+    idx_map = derive_query_indices_batched(roots_seed, st.schedule, r, sizes)
+
+    refs_per_query = []
+    child_buckets = [[] for _ in range(L)]
+    parent_buckets = [[] for _ in range(L)]
+    for q in range(r):
+        per_layer = []
+        for ell in range(L):
+            layer = st.layers[ell]
+            i = idx_map[(ell, q)]
+            b = i // layer.m
+            child_buckets[ell].append(i)
+            parent_buckets[ell].append(b)
+            per_layer.append(LayerQueryRef(i, 0, b, 0))
+        last = st.layers[L]
+        refs_per_query.append(FriQueryPayload(
+            per_layer, [], 0, (last.f[0], last.s[0])))
+
+    layer_batches = []
+    for ell in range(L):
+        child_idx = sorted(set(child_buckets[ell]))
+        parent_idx = sorted(set(parent_buckets[ell]))
+        child_proof = st.layers[ell].tree.open_many(child_idx)
+        parent_proof = st.layers[ell + 1].tree.open_many(parent_idx)
+        for q in range(r):
+            ref = refs_per_query[q].per_layer_refs[ell]
+            ref.child_pos = child_idx.index(ref.i)
+            ref.parent_pos = parent_idx.index(ref.parent_index)
+        layer_batches.append(LayerBatchProof(
+            st.layers[ell].hashed_leaves, child_idx, child_proof,
+            parent_idx, parent_proof))
+
+    final_proof = st.layers[L].tree.open_many([0])
+    roots = [lay.root for lay in st.layers]
+    return refs_per_query, roots, FriLayerBatches(layer_batches, final_proof)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end prove (fri.rs:601-641).
+# ---------------------------------------------------------------------------
+
+def deep_fri_prove(builder, a, s, e, t, n0: int,
+                   params: DeepFriParams) -> DeepFriProof:
+    domain0 = FriDomain.new_radix2(n0)
+    f0 = builder.build_f0(a, s, e, t, n0, domain0)
+
+    st = fri_build_transcript_dev(f0, domain0, params.schedule, params.seed_z)
+    roots = [lay.root for lay in st.layers]
+    roots_seed = fs_seed_from_roots(roots)
+    refs_only, roots2, batches = fri_prove_queries_dev(st, params.r,
+                                                       roots_seed)
+    assert roots == roots2
+
+    queries = []
+    L = len(params.schedule)
+    for q in range(params.r):
+        payloads = []
+        for ell in range(L):
+            ref = refs_only[q].per_layer_refs[ell]
+            payloads.append(LayerOpenPayload(
+                st.layers[ell].f[ref.i],
+                st.layers[ell].s[ref.i],
+                st.layers[ell + 1].f[ref.parent_index],
+                st.layers[ell + 1].s[ref.parent_index],
+            ))
+        queries.append(FriQueryPayload(
+            refs_only[q].per_layer_refs, payloads,
+            refs_only[q].final_index, refs_only[q].final_pair))
+
+    return DeepFriProof(roots, batches, queries, n0, domain0.omega)
+
+
+# ---------------------------------------------------------------------------
+# Verify (fri.rs:643-762) with batched device hashing.
+# ---------------------------------------------------------------------------
+
+def deep_fri_verify(params: DeepFriParams, proof: DeepFriProof) -> bool:
+    L = len(params.schedule)
+    if len(proof.roots) != L + 1:
+        return False
+    if len(proof.layer_batches.layers) != L:
+        return False
+    if len(proof.queries) != params.r:
+        return False
+
+    sizes = layer_sizes_from_schedule(proof.n0, params.schedule)
+
+    child_maps = [{} for _ in range(L)]
+    parent_maps = [{} for _ in range(L)]
+    for q in range(params.r):
+        qp = proof.queries[q]
+        if len(qp.per_layer_refs) != L or len(qp.per_layer_payloads) != L:
+            return False
+        for ell in range(L):
+            ref = qp.per_layer_refs[ell]
+            pay = qp.per_layer_payloads[ell]
+            child_maps[ell].setdefault(ref.i, (pay.f_i, pay.s_i))
+            parent_maps[ell].setdefault(ref.parent_index,
+                                        (pay.f_parent_b, pay.s_parent_b))
+
+    def verify_batch(root, indices, val_map, proof_mp, n, req_m, label):
+        arity = pick_arity_for_layer(n, req_m)
+        hashed = use_hashed_leaves(arity)
+        cfg = MerkleChannelCfg.new(arity, tree_label=label)
+        try:
+            entries = [val_map[i] for i in indices]
+        except KeyError:
+            return False
+        if hashed:
+            leaves = fs.hash_leaf_pairs_ints(entries)
+            return dmk.verify_many_ds(root, indices, leaves, proof_mp,
+                                      cfg.tree_label, cfg.params)
+        return dmk.verify_pairs_ds(root, indices, entries, proof_mp,
+                                   cfg.tree_label, cfg.params)
+
+    for ell in range(L):
+        lb = proof.layer_batches.layers[ell]
+        if not verify_batch(proof.roots[ell], lb.child_indices,
+                            child_maps[ell], lb.child_proof,
+                            sizes[ell], params.schedule[ell], ell):
+            return False
+        req_parent = params.schedule[ell + 1] if ell + 1 < L else 1
+        if not verify_batch(proof.roots[ell + 1], lb.parent_indices,
+                            parent_maps[ell], lb.parent_proof,
+                            sizes[ell + 1], req_parent, ell + 1):
+            return False
+
+    # Local fold checks: s_i == f_parent[i/m] (fri.rs:169-176, :724-738).
+    for q in range(params.r):
+        qp = proof.queries[q]
+        for ell in range(L):
+            ref = qp.per_layer_refs[ell]
+            pay = qp.per_layer_payloads[ell]
+            m = params.schedule[ell]
+            b = ref.i // m
+            if b >= sizes[ell] // m:
+                return False
+            if pay.s_i != pay.f_parent_b:
+                return False
+
+    # Final layer: opening at index 0 (fri.rs:741-759).
+    final_idx = proof.queries[0].final_index
+    if final_idx != 0:
+        return False
+    ar_last = pick_arity_for_layer(sizes[L], 1)
+    cfg_last = MerkleChannelCfg.new(ar_last, tree_label=L)
+    fpair = proof.queries[0].final_pair
+    if use_hashed_leaves(ar_last):
+        leaf_h = fs.hash_leaf_pairs_ints([fpair])[0]
+        return dmk.verify_many_ds(proof.roots[L], [0], [leaf_h],
+                                  proof.layer_batches.final_proof,
+                                  cfg_last.tree_label, cfg_last.params)
+    return dmk.verify_pairs_ds(proof.roots[L], [0], [fpair],
+                               proof.layer_batches.final_proof,
+                               cfg_last.tree_label, cfg_last.params)

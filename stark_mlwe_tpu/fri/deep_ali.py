@@ -1,0 +1,87 @@
+"""DEEP-ALI constraint merge on device.
+
+Mirrors /root/reference/crates/deep_ali/src/lib.rs:48-105 (golden spec in
+`spec.deep_ali`), TPU-first:
+
+  - Phi = a*s + e - t (+ beta*R) is one fused elementwise pass over the
+    sharded evaluation vector,
+  - the barycentric Lagrange evaluation and the f0 quotient use
+    `fr.batch_inv` (log-depth prefix-product scans) where the reference
+    does O(n) per-element modular exponentiations
+    (deep_ali/src/lib.rs:40,100),
+  - omega power tables come from a device associative scan.
+
+Returns the f0 evaluation vector in Montgomery form, ready for FRI
+folding without leaving HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fr
+from ..spec.field import P
+
+
+@jax.jit
+def _merge_kernel(a, s, e, t, w, z_m, scale_m):
+    """phi = a*s+e-t;  f0 = phi / (w - z);  phi_z = scale * sum(phi*w/(z-w)).
+
+    w: [n,16] omega power table (Montgomery); z_m, scale_m: [16] consts.
+    scale = Z_H(z) / n (host-computed).  Returns (f0 [n,16], phi_z [16]).
+    """
+    phi = fr.sub(fr.add(fr.mont_mul(a, s), e), t)
+    dz = fr.sub(w, z_m[None, :])            # w - z, nonzero since z not in H
+    invs = fr.batch_inv(dz)
+    f0 = fr.mont_mul(phi, invs)
+    # sum phi * w / (z - w) = -sum phi * w * invs
+    terms = fr.mont_mul(fr.mont_mul(phi, w), invs)
+    ssum = fr.neg(fr.reduce_add(terms))
+    phi_z = fr.mont_mul(scale_m, ssum)
+    return f0, phi_z
+
+
+@jax.jit
+def _merge_kernel_blinded(a, s, e, t, r, beta_m, w, z_m, scale_m):
+    phi = fr.sub(fr.add(fr.mont_mul(a, s), e), t)
+    phi = fr.add(phi, fr.mont_mul(beta_m[None, :], r))
+    dz = fr.sub(w, z_m[None, :])
+    invs = fr.batch_inv(dz)
+    f0 = fr.mont_mul(phi, invs)
+    terms = fr.mont_mul(fr.mont_mul(phi, w), invs)
+    ssum = fr.neg(fr.reduce_add(terms))
+    phi_z = fr.mont_mul(scale_m, ssum)
+    return f0, phi_z
+
+
+def omega_powers(omega: int, n: int):
+    """Device power table [1, w, ..., w^(n-1)] (Montgomery)."""
+    base = jnp.asarray(fr.pack_int(omega, mont=True))
+    return fr.powers(base, n)
+
+
+def merge_evals_device(a, s, e, t, omega: int, z: int,
+                       r_eval=None, beta: int = 0):
+    """Device DEEP-ALI merge (deep_ali/src/lib.rs:60-105).
+
+    a,s,e,t (and optional r_eval): [n,16] Montgomery device arrays.
+    Returns (f0 [n,16] Montgomery, z, c_star int).
+    """
+    n = int(a.shape[0])
+    assert pow(z, n, P) != 1, "z must be outside H"
+    zh = (pow(z, n, P) - 1) % P
+    n_inv = pow(n % P, P - 2, P)
+    scale = zh * n_inv % P
+    w = omega_powers(omega, n)
+    z_m = jnp.asarray(fr.pack_int(z, mont=True))
+    scale_m = jnp.asarray(fr.pack_int(scale, mont=True))
+    if r_eval is not None:
+        beta_m = jnp.asarray(fr.pack_int(beta, mont=True))
+        f0, phi_z = _merge_kernel_blinded(a, s, e, t, r_eval, beta_m,
+                                          w, z_m, scale_m)
+    else:
+        f0, phi_z = _merge_kernel(a, s, e, t, w, z_m, scale_m)
+    phi_z_int = fr.unpack_ints(phi_z[None, :], mont=True)[0]
+    c_star = phi_z_int * pow(zh, P - 2, P) % P
+    return f0, z, c_star

@@ -1,0 +1,183 @@
+"""Device-accelerated Fiat-Shamir transcript hashing.
+
+The reference drives FS through a Poseidon sponge transcript
+(/root/reference/crates/transcript/src/lib.rs) and hashes *entire witness
+columns* into it (`tr_hash_fields_tagged`, deep_ali/src/fri.rs:28-35).
+The sponge chain is inherently sequential, but each absorb step is a
+batched device permutation, and *independent* tagged hashes (the four
+ALI/{A,S,E,T} column hashes, the per-(layer,query) index seeds, the
+per-leaf pair hashes) batch across the leading axis.
+
+Everything here is bit-exact against `spec.transcript.Transcript`:
+prefix states are replayed host-side with the golden model, the bulk
+absorption runs on device, and the final challenge squeeze is finished
+host-side on the read-back state.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops import fr
+from ..ops import poseidon as dpos
+from ..spec import transcript as str_
+from ..spec.field import P
+from ..spec.transcript import (DS_ABSORB_BYTES, DS_CHALLENGE, RATE, T,
+                               Transcript, bytes_to_field_words,
+                               default_params, domain_tag_to_field)
+
+
+def _dp():
+    return dpos.device_params(default_params())
+
+
+@lru_cache(maxsize=None)
+def transcript_prefix(label: bytes, tag: bytes):
+    """(state ints tuple, pos) after Transcript(label).absorb_bytes(tag)."""
+    tr = Transcript(label)
+    tr.absorb_bytes(tag)
+    return tuple(tr.state), tr.pos
+
+
+def resume_transcript(state_ints, pos: int) -> Transcript:
+    """Rebuild a spec Transcript from raw sponge state (host finish)."""
+    tr = Transcript.__new__(Transcript)
+    tr.params = default_params()
+    tr.state = list(state_ints)
+    tr.pos = pos
+    return tr
+
+
+# ---------------------------------------------------------------------------
+# One-block tagged hashes, batched over rows.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _one_block_consts(label: bytes, tag: bytes, k: int, out_label: bytes):
+    """Constant sponge state for a tagged hash whose row fields + challenge
+    preamble fit in one rate block: returns (const_state [17,16] mont dev,
+    field slot start p0).  Asserts the schedule never crosses a block."""
+    state, p0 = transcript_prefix(label, tag)
+    state = list(state)
+    assert all(state[i] == 0 for i in range(p0, RATE)), "prefix crossed block"
+    suffix = [domain_tag_to_field(DS_CHALLENGE),
+              domain_tag_to_field(DS_ABSORB_BYTES)]
+    suffix += bytes_to_field_words(out_label)
+    assert p0 + k + len(suffix) <= RATE, "tagged hash does not fit one block"
+    for i, v in enumerate(suffix):
+        state[p0 + k + i] = v
+    dev = jnp.asarray(fr.pack_ints(state, mont=True)).reshape(T, fr.N)
+    return dev, p0
+
+
+def one_block_tagged_hash_batch(tag: bytes, rows, label: bytes = b"FRI/FS",
+                                out_label: bytes = b"out"):
+    """Batched `tr_hash_fields_tagged(tag, row)` (fri.rs:28-35) for short
+    rows of equal length.  rows: list[list[int]] -> list[int]."""
+    g = len(rows)
+    k = len(rows[0])
+    gp = 1
+    while gp < g:
+        gp *= 2
+    rows = rows + [rows[0]] * (gp - g)
+    cs, p0 = _one_block_consts(label, tag, k, out_label)
+    flat = [v % P for row in rows for v in row]
+    vals = jnp.asarray(fr.pack_ints(flat, mont=True)).reshape(gp, k, fr.N)
+    state = jnp.concatenate([
+        jnp.broadcast_to(cs[:p0], (gp, p0, fr.N)),
+        vals,
+        jnp.broadcast_to(cs[p0 + k:], (gp, T - p0 - k, fr.N)),
+    ], axis=1)
+    out = dpos.permute(state, _dp())[:, 0, :]
+    return fr.unpack_ints(out, mont=True)[:g]
+
+
+# ---------------------------------------------------------------------------
+# Batched FRI leaf-pair hash (fri.rs:38-44): Poseidon(f, s) via a fresh
+# one-shot transcript -> exactly one permutation per leaf.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _leaf_consts():
+    cs, p0 = _one_block_consts(b"FRI/leaf/poseidon", b"FRI/leaf", 2, b"leaf")
+    assert p0 == 4
+    return cs
+
+
+def hash_leaf_pairs_dev(f_mont, s_mont):
+    """[n,16] x 2 Montgomery -> [n,16] Montgomery leaf digests."""
+    cs = _leaf_consts()
+    n = f_mont.shape[0]
+    state = jnp.concatenate([
+        jnp.broadcast_to(cs[:4], (n, 4, fr.N)),
+        f_mont[:, None, :],
+        s_mont[:, None, :],
+        jnp.broadcast_to(cs[6:], (n, T - 6, fr.N)),
+    ], axis=1)
+    return dpos.permute(state, _dp())[:, 0, :]
+
+
+def hash_leaf_pairs_ints(pairs) -> list:
+    """Host-int convenience with pow2 padding for shape reuse."""
+    g = len(pairs)
+    gp = 1
+    while gp < g:
+        gp *= 2
+    padded = list(pairs) + [pairs[0]] * (gp - g)
+    f = jnp.asarray(fr.pack_ints([p[0] for p in padded], mont=True))
+    s = jnp.asarray(fr.pack_ints([p[1] for p in padded], mont=True))
+    return fr.unpack_ints(hash_leaf_pairs_dev(f, s), mont=True)[:g]
+
+
+# ---------------------------------------------------------------------------
+# Long-vector tagged hashes (the ALI/{A,S,E,T} witness-column hashes).
+# ---------------------------------------------------------------------------
+
+def tagged_hash_vecs(tags, vecs_mont, label: bytes = b"FRI/FS",
+                     out_label: bytes = b"out") -> list:
+    """Batched `tr_hash_fields_tagged(tag_b, vec_b)` over B independent
+    (tag, column) pairs of equal length.  vecs_mont: [B, n, 16]."""
+    B, n = int(vecs_mont.shape[0]), int(vecs_mont.shape[1])
+    assert len(tags) == B
+    prefixes = [transcript_prefix(label, t) for t in tags]
+    p0 = prefixes[0][1]
+    assert all(p == p0 for _, p in prefixes)
+    state = jnp.asarray(fr.pack_ints(
+        [v for st, _ in prefixes for v in st], mont=True)).reshape(B, T, fr.N)
+
+    dp = _dp()
+    pos = p0
+    off = 0
+    head = min(n, RATE - pos)
+    if head:
+        piece = fr.add(state[:, pos:pos + head, :], vecs_mont[:, :head, :])
+        state = jnp.concatenate(
+            [state[:, :pos, :], piece, state[:, pos + head:, :]], axis=1)
+        pos += head
+        off += head
+        if pos == RATE:
+            state = dpos.permute(state, dp)
+            pos = 0
+    nb = (n - off) // RATE
+    if nb:
+        blocks = vecs_mont[:, off:off + nb * RATE, :].reshape(
+            B, nb, RATE, fr.N)
+        blocks = jnp.moveaxis(blocks, 1, 0)
+        state = dpos.absorb_blocks(state, blocks, dp)
+        off += nb * RATE
+    tail = n - off
+    if tail:
+        piece = fr.add(state[:, :tail, :], vecs_mont[:, off:, :])
+        state = jnp.concatenate([piece, state[:, tail:, :]], axis=1)
+        pos = tail
+
+    states = fr.unpack_ints(fr.from_mont(state.reshape(-1, fr.N)))
+    out = []
+    for b in range(B):
+        tr = resume_transcript(states[b * T:(b + 1) * T], pos)
+        out.append(tr.challenge(out_label))
+    return out
