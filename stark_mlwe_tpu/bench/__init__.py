@@ -1,0 +1,149 @@
+"""Benchmark harness mirroring the reference's end_to_end criterion driver.
+
+Reproduces /root/reference/crates/channel/benches/end_to_end.rs:
+  - the 13 fold-schedule presets (:197-211) with k windows per schedule,
+  - deterministic witness generation: the LCG-mutated `rng_seed` chain
+    (seed0=1337, s <- s*1103515245+12345 mod 2^64 per (label,k) iteration)
+    feeding StdRng::seed_from_u64 and ark `F::rand` (:247-253),
+  - global r=32, seed_z=0xDEEF_BAAD (:187-188),
+  - the CSV schema (:41-59) written to benchmarkdata.csv with %-deltas vs
+    the "paper" schedule.
+"""
+
+from __future__ import annotations
+
+import time
+
+from ..spec.fri import DeepFriParams, deep_fri_proof_size_bytes
+from ..spec.rng import StdRng
+
+PRESETS = [
+    ("paper", [16, 16, 8]),
+    ("mod16", [16, 16, 16, 16]),
+    ("uni32x3", [32, 32, 32]),
+    ("uni64x2x8", [64, 64, 8]),
+    ("hi64_32_8", [64, 32, 8]),
+    ("hi32_32_16", [32, 32, 16]),
+    ("uni128", [128]),
+    ("uni128x2", [128, 128]),
+    ("hi128_64", [128, 64]),
+    ("hi128_32", [128, 32]),
+    ("hi128_16", [128, 16]),
+    ("hi128_64_8", [128, 64, 8]),
+    ("hi128_32_8", [128, 32, 8]),
+]
+
+R_QUERIES = 32
+SEED_Z = 0xDEEF_BAAD
+K_LO, K_HI = 11, 19
+
+_LCG_MUL = 1103515245
+_LCG_ADD = 12345
+_U64 = (1 << 64) - 1
+
+
+def k_min_for_schedule(schedule) -> int:
+    prod = 1
+    for m in schedule:
+        prod *= m
+    return prod.bit_length() - 1
+
+
+def ks_for_schedule(schedule, k_lo=K_LO, k_hi=K_HI):
+    kmin = max(k_lo, k_min_for_schedule(schedule))
+    return list(range(kmin, k_hi + 1))
+
+
+def witness_seed_for(label: str, k: int) -> int:
+    """Replays the bench's rng_seed LCG chain up to iteration (label, k)
+    (end_to_end.rs:247-248: mutation happens per executed (label,k) pair,
+    presets in order, ks ascending)."""
+    seed = 1337
+    for lab, schedule in PRESETS:
+        for kk in ks_for_schedule(schedule):
+            seed = (seed * _LCG_MUL + _LCG_ADD) & _U64
+            if lab == label and kk == k:
+                return seed
+    raise ValueError(f"({label}, {k}) not in the bench grid")
+
+
+def gen_witness(k: int, seed: int):
+    """a, s, e, t as int lists via StdRng::seed_from_u64 + F::rand
+    (end_to_end.rs:249-253)."""
+    n0 = 1 << k
+    rng = StdRng.seed_from_u64(seed)
+    cols = []
+    for _ in range(4):
+        cols.append([rng.ark_fr_rand() for _ in range(n0)])
+    return cols
+
+
+CSV_HEADER = ("csv,label,k,schedule,proof_bytes,prove_s,verify_ms,"
+              "prove_elems_per_s,delta_size_pct_vs_paper,"
+              "delta_prove_pct_vs_paper,delta_verify_pct_vs_paper,"
+              "delta_throughput_pct_vs_paper")
+
+
+def csv_line(label, k, schedule, proof_bytes, prove_s, verify_ms,
+             baseline=None) -> str:
+    eps = (1 << k) / prove_s
+    if baseline:
+        d = (100.0 * (proof_bytes - baseline["proof_bytes"])
+             / baseline["proof_bytes"],
+             100.0 * (prove_s - baseline["prove_s"]) / baseline["prove_s"],
+             100.0 * (verify_ms - baseline["verify_ms"])
+             / baseline["verify_ms"],
+             100.0 * (eps - baseline["eps"]) / baseline["eps"])
+    else:
+        d = (0.0, 0.0, 0.0, 0.0)
+    sched = "x".join(str(m) for m in schedule)
+    return (f"csv,{label},{k},{sched},{proof_bytes},{prove_s:.6f},"
+            f"{verify_ms:.3f},{eps:.6f},{d[0]:.2f},{d[1]:.2f},{d[2]:.2f},"
+            f"{d[3]:.2f}")
+
+
+def run_mf_fri(label: str, k: int, warmup: bool = True,
+               check_verify: bool = True):
+    """Times one prove(+verify) at (label, k) on the device prover.
+
+    Returns dict with prove_s, verify_ms, proof_bytes, proof object.
+    """
+    import jax.numpy as jnp
+
+    from ..fri import (DeviceDeepAliRealBuilder, deep_fri_prove,
+                       deep_fri_verify)
+    from ..ops import fr
+
+    schedule = dict(PRESETS)[label]
+    seed = witness_seed_for(label, k)
+    a, s, e, t = gen_witness(k, seed)
+    da = jnp.asarray(fr.pack_ints(a, mont=True))
+    ds_ = jnp.asarray(fr.pack_ints(s, mont=True))
+    de = jnp.asarray(fr.pack_ints(e, mont=True))
+    dt_ = jnp.asarray(fr.pack_ints(t, mont=True))
+    params = DeepFriParams(schedule=list(schedule), r=R_QUERIES,
+                           seed_z=SEED_Z)
+    builder = DeviceDeepAliRealBuilder()
+    n0 = 1 << k
+
+    if warmup:  # compile all shapes once
+        deep_fri_prove(builder, da, ds_, de, dt_, n0, params)
+
+    t0 = time.perf_counter()
+    proof = deep_fri_prove(builder, da, ds_, de, dt_, n0, params)
+    prove_s = time.perf_counter() - t0
+
+    verify_ms = 0.0
+    if check_verify:
+        deep_fri_verify(params, proof)  # warm shapes
+        t1 = time.perf_counter()
+        ok = deep_fri_verify(params, proof)
+        verify_ms = (time.perf_counter() - t1) * 1e3
+        assert ok, "proof failed verification"
+
+    return {
+        "label": label, "k": k, "schedule": schedule,
+        "prove_s": prove_s, "verify_ms": verify_ms,
+        "proof_bytes": deep_fri_proof_size_bytes(proof),
+        "proof": proof,
+    }

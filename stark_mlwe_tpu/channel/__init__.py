@@ -1,0 +1,514 @@
+"""Device-backed protocol channel & NIZK API.
+
+Runtime counterpart of /root/reference/crates/channel/src/lib.rs (golden
+spec in `spec.channel`), producing byte-identical proofs:
+
+  - the Fiat-Shamir channels replay the exact absorb discipline
+    (:7-117) on a `FastTranscript` whose sequential t=17 permutations run
+    in the native C++ kernel (`stark_mlwe_tpu.native`),
+  - Merkle commitments (arity 16, :60-114 of commitment crate) build on
+    the batched device tree engine,
+  - sum-check layers live on device as Montgomery limb tensors: claims,
+    round coefficients (c0, c1) and folds are fused reductions
+    (:406-541 plain, :548-879 Merkle-folded),
+  - the NIZK wire structs (VK / ProofPlain / ProofMF, :894-1240) are
+    reused from the spec so serialization is shared.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import merkle as dmk
+from ..mle import DeviceMLE
+from ..ops import fr
+from .. import native
+from ..spec import poseidon as spos
+from ..spec.channel import (COMMIT_ARITY, MFFoldOpenings, MerkleChannelCfg,
+                            MerkleProofBytes, ProofMF, ProofPlain, RoundMF,
+                            SumCheckMFConfig, VK, _xor_fold_u64,
+                            build_vk_mf, build_vk_plain)
+from ..spec.field import P, fr_from_bytes, fr_to_bytes
+from ..spec.merkle import MerkleChannelCfg as TreeCfg
+from ..spec.merkle import default_params as merkle_default_params
+from ..spec.transcript import (DS_CHALLENGE, RATE, Transcript,
+                               domain_tag_to_field)
+
+
+class FastTranscript(Transcript):
+    """spec.transcript.Transcript with native host permutations."""
+
+    def _permute(self):
+        if native.available():
+            self.state = native.permute_ints(self.state, self.params)
+        else:
+            self.state = spos.permute(self.state, self.params)
+
+    def absorb_fields(self, xs) -> None:
+        for x in xs:
+            if self.pos == RATE:
+                self._permute()
+                self.pos = 0
+            self.state[self.pos] = (self.state[self.pos] + x) % P
+            self.pos += 1
+
+    def challenge(self, label: bytes) -> int:
+        self.absorb_field(domain_tag_to_field(DS_CHALLENGE))
+        self.absorb_bytes(label)
+        self._permute()
+        self.pos = 0
+        return self.state[0]
+
+
+# The channel absorb discipline is pure transcript logic; reuse it verbatim
+# on the fast transcript.
+from ..spec.channel import ProverChannel, VerifierChannel  # noqa: E402
+
+
+def mf_round_challenge_from_root(round_idx: int, prev_root: int) -> int:
+    """channel/src/lib.rs:592-599 on the fast transcript."""
+    tmp = FastTranscript(b"SUMCHECK-MF/ROUND-CHAL")
+    tmp.absorb_bytes(b"SUMCHECK/MF/R")
+    tmp.absorb_bytes(round_idx.to_bytes(8, "little"))
+    tmp.absorb_field(prev_root)
+    return tmp.challenge(b"r_i")
+
+
+# ---------------------------------------------------------------------------
+# Device Merkle commitment scheme (commitment/src/lib.rs:60-114).
+# ---------------------------------------------------------------------------
+
+class DeviceMerkleCommitment:
+    def __init__(self, tree_label: int, params=None):
+        self.tree_label = tree_label
+        self.params = params if params is not None else merkle_default_params()
+
+    def _tree_cfg(self) -> TreeCfg:
+        return TreeCfg(COMMIT_ARITY, self.params, self.tree_label)
+
+    def commit(self, leaves):
+        if isinstance(leaves, (list, tuple)):
+            leaves = jnp.asarray(fr.pack_ints(list(leaves), mont=True))
+        tree = dmk.build_tree(leaves, self._tree_cfg())
+        return tree.root(), tree
+
+    def open(self, indices, tree):
+        return tree.open_many(indices)
+
+    def verify(self, root, indices, values, proof) -> bool:
+        return dmk.verify_many_ds(root, indices, values, proof,
+                                  self.tree_label, self.params)
+
+
+def _scheme(cfg: MerkleChannelCfg) -> DeviceMerkleCommitment:
+    return DeviceMerkleCommitment(cfg.tree_label)
+
+
+# ---------------------------------------------------------------------------
+# Channel-bound Merkle / MLE layers (channel/src/lib.rs:149-400).
+# ---------------------------------------------------------------------------
+
+class ChanMerkleProver:
+    def __init__(self, chan: ProverChannel, cfg: MerkleChannelCfg):
+        self.chan = chan
+        self.cfg = cfg
+        self.scheme = _scheme(cfg)
+        self.root = None
+        self.tree = None
+
+    def commit_vector(self, leaves) -> int:
+        root, tree = self.scheme.commit(leaves)
+        self.chan.send_digest(b"commit/root", root)
+        self.root, self.tree = root, tree
+        return root
+
+    def open_indices(self, indices, table):
+        values = [table[i] for i in indices] if not isinstance(
+            table, DeviceMLE) else table.value_at(indices)
+        proof = self.scheme.open(indices, self.tree)
+        self.chan.send_opening(indices, values, proof)
+        return values, proof
+
+    def challenge_scalar(self, label: bytes) -> int:
+        return self.chan.challenge_scalar(label)
+
+
+class ChanMerkleVerifier:
+    def __init__(self, chan: VerifierChannel, cfg: MerkleChannelCfg):
+        self.chan = chan
+        self.cfg = cfg
+        self.scheme = _scheme(cfg)
+        self.root = None
+
+    def receive_root(self, root: int) -> None:
+        self.chan.recv_digest(b"commit/root", root)
+        self.root = root
+
+    def verify_openings(self, indices, values, proof) -> bool:
+        self.chan.recv_opening(indices, values, proof)
+        if self.root is None:
+            return False
+        return self.scheme.verify(self.root, indices, values, proof)
+
+    def challenge_scalar(self, label: bytes) -> int:
+        return self.chan.challenge_scalar(label)
+
+
+class MleProver:
+    def __init__(self, merkle: ChanMerkleProver, mle: DeviceMLE):
+        self.merkle = merkle
+        self.mle = mle
+
+    def commit(self) -> int:
+        return self.merkle.commit_vector(self.mle.values_dev)
+
+    def draw_point(self, label: bytes):
+        return [self.merkle.challenge_scalar(label + j.to_bytes(8, "little"))
+                for j in range(self.mle.n)]
+
+    def evaluate_and_bind(self, r) -> int:
+        val = self.mle.eval(r)
+        self.merkle.chan.tr.absorb_bytes(b"MLE/EVAL")
+        self.merkle.chan.tr.absorb_field(val)
+        return val
+
+    def open_indices(self, indices):
+        return self.merkle.open_indices(indices, self.mle)
+
+
+class MleVerifier:
+    def __init__(self, merkle: ChanMerkleVerifier, k: int):
+        self.merkle = merkle
+        self.k = k
+
+    def receive_root(self, root: int) -> None:
+        self.merkle.receive_root(root)
+
+    def draw_point(self, label: bytes):
+        return [self.merkle.challenge_scalar(label + j.to_bytes(8, "little"))
+                for j in range(self.k)]
+
+    def bind_claimed_eval(self, value: int) -> None:
+        self.merkle.chan.tr.absorb_bytes(b"MLE/EVAL")
+        self.merkle.chan.tr.absorb_field(value)
+
+    def verify_openings(self, indices, values, proof) -> bool:
+        return self.merkle.verify_openings(indices, values, proof)
+
+
+# ---------------------------------------------------------------------------
+# Device sum-check layers.
+# ---------------------------------------------------------------------------
+
+def _round_coeffs_dev(values_dev):
+    """(c0, c1) = (sum evens, sum (odd - even))  (channel:406-416)."""
+    h = int(values_dev.shape[0]) // 2
+    v = values_dev.reshape(h, 2, fr.N)
+    c0 = fr.reduce_add(v[:, 0, :])
+    c1 = fr.reduce_add(fr.sub(v[:, 1, :], v[:, 0, :]))
+    pair = jnp.stack([c0, c1], axis=0)
+    return fr.unpack_ints(pair, mont=True)
+
+
+class SumCheckProver:
+    """channel/src/lib.rs:433-486 with the layer on device."""
+
+    def __init__(self, mle_prover: MleProver):
+        self.mle = mle_prover
+        self.layer = DeviceMLE(mle_prover.mle.values_dev)
+
+    def _tr(self):
+        return self.mle.merkle.chan.tr
+
+    def send_claim(self) -> int:
+        s = self.layer.sum()
+        self._tr().absorb_bytes(b"SUMCHECK/CLAIM")
+        self._tr().absorb_field(s)
+        return s
+
+    def round(self, round_idx: int, chal_label: bytes):
+        c0, c1 = _round_coeffs_dev(self.layer.values_dev)
+        t = self._tr()
+        t.absorb_bytes(b"SUMCHECK/ROUND")
+        t.absorb_bytes(round_idx.to_bytes(8, "little"))
+        t.absorb_bytes(b"COEFF/c0")
+        t.absorb_field(c0)
+        t.absorb_bytes(b"COEFF/c1")
+        t.absorb_field(c1)
+
+        r_i = self.mle.merkle.challenge_scalar(
+            chal_label + round_idx.to_bytes(8, "little"))
+        self.layer = self.layer.fold_last(r_i)
+        return c0, c1, r_i
+
+    def finalize_and_bind_eval(self) -> int:
+        assert self.layer.values_dev.shape[0] == 1
+        val = fr.unpack_ints(self.layer.values_dev, mont=True)[0]
+        self._tr().absorb_bytes(b"SUMCHECK/FINAL/EVAL")
+        self._tr().absorb_field(val)
+        return val
+
+
+from ..spec.channel import SumCheckVerifier  # host math only  # noqa: E402
+
+
+class SumCheckMFProver:
+    """channel/src/lib.rs:632-730 with device layers and commits."""
+
+    def __init__(self, cfg: SumCheckMFConfig, merkle_cfg: MerkleChannelCfg,
+                 chan: ProverChannel, mle: DeviceMLE):
+        self.cfg = cfg
+        self.chan = chan
+        self.scheme = _scheme(merkle_cfg)
+        root, tree = self.scheme.commit(mle.values_dev)
+        chan.send_digest(b"sumcheck-mf/root/0", root)
+        self.layer = mle
+        self.tree = tree
+        self.root = root
+        self.rounds = mle.n
+
+    def send_claim(self) -> int:
+        s = self.layer.sum()
+        self.chan.tr.absorb_bytes(b"SUMCHECK/MF/CLAIM")
+        self.chan.tr.absorb_field(s)
+        return s
+
+    def round(self, i: int):
+        c0, c1 = _round_coeffs_dev(self.layer.values_dev)
+        t = self.chan.tr
+        t.absorb_bytes(b"SUMCHECK/MF/ROUND")
+        t.absorb_bytes(i.to_bytes(8, "little"))
+        t.absorb_bytes(b"COEFF/c0")
+        t.absorb_field(c0)
+        t.absorb_bytes(b"COEFF/c1")
+        t.absorb_field(c1)
+
+        r_i = mf_round_challenge_from_root(i, self.root)
+
+        nxt = self.layer.fold_last(r_i)
+        half = int(nxt.values_dev.shape[0])
+        next_root, next_tree = self.scheme.commit(nxt.values_dev)
+        self.chan.send_digest(b"sumcheck-mf/root/next", next_root)
+
+        q_target = min(max(self.cfg.queries_per_round, 1), half)
+        queries: set = set()
+        attempt = 0
+        max_attempts = max(q_target * 16, 16)
+        j = 0
+        while len(queries) < q_target and attempt < max_attempts:
+            qlabel = (b"sumcheck-mf/q" + i.to_bytes(8, "little")
+                      + j.to_bytes(8, "little"))
+            rr = self.chan.challenge_scalar(qlabel)
+            if half > 0:
+                queries.add(_xor_fold_u64(rr) % half)
+            j += 1
+            attempt += 1
+        if len(queries) < q_target:
+            for idx in range(half):
+                queries.add(idx)
+                if len(queries) == q_target:
+                    break
+        qsorted = sorted(queries)
+
+        cur_indices = []
+        for jj in qsorted:
+            cur_indices.extend((2 * jj, 2 * jj + 1))
+        cur_values = self.layer.value_at(cur_indices)
+        cur_proof = self.scheme.open(cur_indices, self.tree)
+        next_indices = list(qsorted)
+        next_values = nxt.value_at(next_indices)
+        next_proof = self.scheme.open(next_indices, next_tree)
+
+        self.chan.send_opening(cur_indices, cur_values, cur_proof)
+        self.chan.send_opening(next_indices, next_values, next_proof)
+
+        self.layer, self.tree, self.root = nxt, next_tree, next_root
+        openings = MFFoldOpenings(cur_indices, cur_values, cur_proof,
+                                  next_indices, next_values, next_proof)
+        return c0, c1, r_i, next_root, openings
+
+    def finalize_eval(self) -> int:
+        assert self.layer.values_dev.shape[0] == 1
+        val = fr.unpack_ints(self.layer.values_dev, mont=True)[0]
+        self.chan.tr.absorb_bytes(b"SUMCHECK/MF/FINAL/EVAL")
+        self.chan.tr.absorb_field(val)
+        return val
+
+    def current_root(self) -> int:
+        return self.root
+
+
+class SumCheckMFVerifier:
+    """channel/src/lib.rs:749-879 with device Merkle verification."""
+
+    def __init__(self, cfg: SumCheckMFConfig, merkle_cfg: MerkleChannelCfg,
+                 chan: VerifierChannel, initial_root: int, rounds: int):
+        self.cfg = cfg
+        self.chan = chan
+        self.scheme = _scheme(merkle_cfg)
+        self.cur_root = initial_root
+        self.rounds = rounds
+
+    def receive_initial_root(self, root: int) -> None:
+        self.chan.recv_digest(b"sumcheck-mf/root/0", root)
+        self.cur_root = root
+
+    def recv_claim(self, s: int) -> None:
+        self.chan.tr.absorb_bytes(b"SUMCHECK/MF/CLAIM")
+        self.chan.tr.absorb_field(s)
+
+    def start_round(self, i: int, s_prev: int, c0: int, c1: int) -> None:
+        t = self.chan.tr
+        t.absorb_bytes(b"SUMCHECK/MF/ROUND")
+        t.absorb_bytes(i.to_bytes(8, "little"))
+        t.absorb_bytes(b"COEFF/c0")
+        t.absorb_field(c0)
+        t.absorb_bytes(b"COEFF/c1")
+        t.absorb_field(c1)
+        if (2 * c0 + c1) % P != s_prev % P:
+            raise AssertionError("sum-check MF round consistency failed")
+
+    def derive_round_challenge(self, i: int) -> int:
+        return mf_round_challenge_from_root(i, self.cur_root)
+
+    def recv_next_root(self, next_root: int) -> None:
+        self.chan.recv_digest(b"sumcheck-mf/root/next", next_root)
+        self.cur_root = next_root
+
+    def compute_s_next(self, c0: int, c1: int, r_i: int) -> int:
+        return (c0 + c1 * r_i) % P
+
+    def verify_fold_openings(self, cur_indices, cur_values, cur_proof,
+                             next_indices, next_values, next_proof,
+                             r_i, prev_root, next_root) -> bool:
+        if not self.scheme.verify(prev_root, cur_indices, cur_values,
+                                  cur_proof):
+            return False
+        if not self.scheme.verify(next_root, next_indices, next_values,
+                                  next_proof):
+            return False
+        if (len(cur_indices) != len(cur_values)
+                or len(next_indices) != len(next_values)):
+            return False
+        pairs: dict = {}
+        for ix, val in zip(cur_indices, cur_values):
+            slot = pairs.setdefault(ix // 2, [None, None])
+            slot[ix % 2] = val
+        om = (1 - r_i) % P
+        for j, vj in zip(next_indices, next_values):
+            a, b = pairs.get(j, (None, None))
+            if a is None or b is None:
+                return False
+            if (om * a + r_i * b) % P != vj % P:
+                return False
+        return True
+
+    def finalize_and_check(self, final_eval: int, s_k: int) -> None:
+        self.chan.tr.absorb_bytes(b"SUMCHECK/MF/FINAL/EVAL")
+        self.chan.tr.absorb_field(final_eval)
+        if final_eval % P != s_k % P:
+            raise AssertionError("final MF sum-check evaluation mismatch")
+
+
+# ---------------------------------------------------------------------------
+# NIZK wire API (channel/src/lib.rs:1045-1240) - device prover/verifier.
+# ---------------------------------------------------------------------------
+
+def prove_plain(vk: VK, witness) -> ProofPlain:
+    assert vk.variant == "plain"
+    chan = ProverChannel(FastTranscript(b"E2E/PLAIN"))
+    mp = ChanMerkleProver(chan, MerkleChannelCfg(vk.tree_label))
+    mle = (witness if isinstance(witness, DeviceMLE)
+           else DeviceMLE.from_ints(list(witness)))
+    root = mp.commit_vector(mle.values_dev)
+    sp = SumCheckProver(MleProver(mp, mle))
+    sp.send_claim()
+    rounds = []
+    for i in range(vk.k):
+        c0, c1, _ = sp.round(i, b"sumcheck/r")
+        rounds.append((fr_to_bytes(c0), fr_to_bytes(c1)))
+    final_eval = sp.finalize_and_bind_eval()
+    return ProofPlain(fr_to_bytes(root), rounds, fr_to_bytes(final_eval))
+
+
+def verify_plain(vk: VK, proof: ProofPlain) -> bool:
+    assert vk.variant == "plain"
+    chan = VerifierChannel(FastTranscript(b"E2E/PLAIN"))
+    mv = ChanMerkleVerifier(chan, MerkleChannelCfg(vk.tree_label))
+    mv.receive_root(fr_from_bytes(proof.root))
+    sv = SumCheckVerifier(MleVerifier(mv, vk.k))
+    if not proof.rounds:
+        return False
+    c0_0 = fr_from_bytes(proof.rounds[0][0])
+    c1_0 = fr_from_bytes(proof.rounds[0][1])
+    s0 = (2 * c0_0 + c1_0) % P
+    sv.recv_claim(s0)
+    running = s0
+    try:
+        for i, (c0_b, c1_b) in enumerate(proof.rounds):
+            _, running = sv.round(i, running, fr_from_bytes(c0_b),
+                                  fr_from_bytes(c1_b), b"sumcheck/r")
+        sv.finalize_and_check(fr_from_bytes(proof.final_eval), running)
+    except AssertionError:
+        return False
+    return True
+
+
+def prove_mf(vk: VK, witness) -> ProofMF:
+    assert vk.variant == "mf"
+    chan = ProverChannel(FastTranscript(b"E2E/MF"))
+    cfg = SumCheckMFConfig(vk.queries_per_round)
+    mle = (witness if isinstance(witness, DeviceMLE)
+           else DeviceMLE.from_ints(list(witness)))
+    sp = SumCheckMFProver(cfg, MerkleChannelCfg(vk.tree_label), chan, mle)
+    initial_root = sp.current_root()
+    sp.send_claim()
+    rounds = []
+    for i in range(vk.k):
+        c0, c1, _r, next_root, op = sp.round(i)
+        rounds.append(RoundMF(
+            fr_to_bytes(c0), fr_to_bytes(c1), fr_to_bytes(next_root),
+            op.cur_indices, [fr_to_bytes(v) for v in op.cur_values],
+            MerkleProofBytes.from_proof(op.cur_proof),
+            op.next_indices, [fr_to_bytes(v) for v in op.next_values],
+            MerkleProofBytes.from_proof(op.next_proof)))
+    final_eval = sp.finalize_eval()
+    return ProofMF(fr_to_bytes(initial_root), rounds,
+                   fr_to_bytes(final_eval))
+
+
+def verify_mf(vk: VK, proof: ProofMF) -> bool:
+    assert vk.variant == "mf"
+    chan = VerifierChannel(FastTranscript(b"E2E/MF"))
+    init_root = fr_from_bytes(proof.initial_root)
+    sv = SumCheckMFVerifier(SumCheckMFConfig(vk.queries_per_round),
+                            MerkleChannelCfg(vk.tree_label), chan,
+                            init_root, vk.k)
+    sv.receive_initial_root(init_root)
+    running = None
+    prev_root = init_root
+    try:
+        for i, r in enumerate(proof.rounds):
+            c0 = fr_from_bytes(r.c0)
+            c1 = fr_from_bytes(r.c1)
+            next_root = fr_from_bytes(r.next_root)
+            s_prev = running if running is not None else (2 * c0 + c1) % P
+            sv.start_round(i, s_prev, c0, c1)
+            r_i = sv.derive_round_challenge(i)
+            sv.recv_next_root(next_root)
+            ok = sv.verify_fold_openings(
+                r.cur_indices, [fr_from_bytes(v) for v in r.cur_values],
+                r.cur_proof.to_proof(),
+                r.next_indices, [fr_from_bytes(v) for v in r.next_values],
+                r.next_proof.to_proof(),
+                r_i, prev_root, next_root)
+            if not ok:
+                return False
+            running = sv.compute_s_next(c0, c1, r_i)
+            prev_root = next_root
+        final_eval = fr_from_bytes(proof.final_eval)
+        sv.finalize_and_check(final_eval,
+                              running if running is not None else final_eval)
+    except AssertionError:
+        return False
+    return True

@@ -1,0 +1,142 @@
+"""Radix-2 NTT / iNTT / LDE over Fr on device.
+
+The reference never executes an FFT in its proving path (its `fft` crate
+is a stale BLS12-381 wrapper, /root/reference/crates/fft/src/lib.rs:1-32;
+DEEP-ALI works directly on evaluation vectors).  The TPU framework
+implements a real low-degree-extension stage as SURVEY.md section 7.0
+requires: radix-2 Cooley-Tukey over the Pallas-Fr 2-adic subgroup
+(two-adicity 32, crates/field/src/lib.rs:157-161), with
+
+  - a host-precomputed bit-reversal gather (one jnp.take),
+  - per-stage twiddle tables in Montgomery form, cached per size,
+  - butterflies as fused batched add/sub/mont_mul columns,
+  - `lde`: iNTT -> zero-pad -> (optional coset scale) -> NTT at blowup.
+
+Semantics: ntt(c)[j] = sum_i c_i omega^(ij) with omega = get_root_of_unity(n)
+(ark-ff FftField convention, field/src/lib.rs:46).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..spec.field import P, get_root_of_unity
+from . import fr
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int32)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _plan(n: int, inverse: bool):
+    """(bit-reversal indices, per-stage twiddle device arrays [half,16])."""
+    assert n & (n - 1) == 0 and n > 1
+    omega = get_root_of_unity(n)
+    if inverse:
+        omega = pow(omega, P - 2, P)
+    rev = jnp.asarray(_bit_reverse_perm(n))
+    tws = []
+    L = 2
+    while L <= n:
+        half = L // 2
+        w = pow(omega, n // L, P)
+        tws.append(jnp.asarray(fr.pack_ints(
+            [pow(w, j, P) for j in range(half)], mont=True)))
+        L *= 2
+    return rev, tuple(tws)
+
+
+def _butterflies(x, tws):
+    n = x.shape[0]
+    L = 2
+    for tw in tws:
+        half = L // 2
+        y = x.reshape(n // L, L, fr.N)
+        e = y[:, :half, :]
+        o = fr.mont_mul(y[:, half:, :], tw[None, :, :])
+        x = jnp.concatenate([fr.add(e, o), fr.sub(e, o)], axis=1)
+        x = x.reshape(n, fr.N)
+        L *= 2
+    return x
+
+
+def ntt(x, inverse: bool = False):
+    """In-order radix-2 NTT of x: [n, 16] Montgomery.  With inverse=True
+    computes the inverse transform including the 1/n scale."""
+    n = int(x.shape[0])
+    if n == 1:
+        return x
+    rev, tws = _plan(n, inverse)
+    x = jnp.take(x, rev, axis=0)
+    x = _butterflies(x, tws)
+    if inverse:
+        n_inv = pow(n % P, P - 2, P)
+        x = fr.mont_mul(x, jnp.asarray(fr.pack_int(n_inv, mont=True))[None, :])
+    return x
+
+
+def intt(x):
+    return ntt(x, inverse=True)
+
+
+def lde(values, blowup: int, coset_shift: int | None = None):
+    """Low-degree extension: evaluations on H (size n) -> evaluations on a
+    (coset of a) domain of size n*blowup.
+
+    coset_shift g rescales coefficients by g^i so the output is p(g*x) on
+    the larger subgroup, i.e. evaluations on the coset gK.
+    """
+    n = int(values.shape[0])
+    assert blowup >= 1 and blowup & (blowup - 1) == 0
+    coeffs = intt(values)
+    if coset_shift is not None:
+        sh = fr.powers(jnp.asarray(fr.pack_int(coset_shift, mont=True)), n)
+        coeffs = fr.mont_mul(coeffs, sh)
+    if blowup > 1:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros(((blowup - 1) * n, fr.N), dtype=fr.U32)],
+            axis=0)
+    return ntt(coeffs)
+
+
+# ---------------------------------------------------------------------------
+# Four-step decomposition (the multi-chip layout: NTT of n = n1*n2 as
+# column transforms -> twiddle scale -> transpose -> row transforms).
+# Used by parallel.ntt_sharded with all_to_all transposes over ICI.
+# ---------------------------------------------------------------------------
+
+def ntt_four_step(x, n1: int, n2: int):
+    """Single-chip reference of the four-step NTT: x [n1*n2, 16] in order.
+
+    X[j1 + n1*j2] = sum_i x[i] w^(i*(j1+n1*j2)) decomposed with
+    i = i1*n2 + i2:  inner NTTs of the n2 columns (size n1), twiddle by
+    w^(i2*j1), then NTTs of the n1 rows (size n2).
+    """
+    n = n1 * n2
+    assert int(x.shape[0]) == n
+    omega = get_root_of_unity(n)
+    # columns: fix i2, transform over i1 (stride n2)
+    cols = x.reshape(n1, n2, fr.N)
+    cols = jnp.swapaxes(cols, 0, 1)               # [n2, n1, 16]
+    cols = jax.vmap(lambda v: ntt(v))(cols)       # size-n1 transforms
+    # twiddle: factor w^(i2*j1), i2 row index, j1 output of column NTT
+    tw = [pow(omega, (i2 * j1), P) for i2 in range(n2) for j1 in range(n1)]
+    tw_dev = jnp.asarray(fr.pack_ints(tw, mont=True)).reshape(n2, n1, fr.N)
+    cols = fr.mont_mul(cols, tw_dev)
+    # rows: transpose to [n1, n2], transform size n2
+    rows = jnp.swapaxes(cols, 0, 1)               # [n1, n2, 16]
+    rows = jax.vmap(lambda v: ntt(v))(rows)
+    # output element (j1, j2) lives at rows[j1 transposed]: X[j1 + n1*j2]
+    out = jnp.swapaxes(rows, 0, 1).reshape(n, fr.N)
+    return out

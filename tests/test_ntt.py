@@ -1,0 +1,82 @@
+"""NTT/iNTT/LDE vs direct O(n^2) evaluation from the golden field spec."""
+
+import random
+
+import jax.numpy as jnp
+
+from stark_mlwe_tpu.ops import fr, ntt
+from stark_mlwe_tpu.spec.field import P, get_root_of_unity
+
+rng = random.Random(0x17EE)
+
+
+def rand_elems(n):
+    return [rng.randrange(P) for _ in range(n)]
+
+
+def naive_ntt(coeffs, n):
+    w = get_root_of_unity(n)
+    return [sum(c * pow(w, i * j, P) for i, c in enumerate(coeffs)) % P
+            for j in range(n)]
+
+
+def dev(xs):
+    return jnp.asarray(fr.pack_ints(xs, mont=True))
+
+
+def test_ntt_matches_naive():
+    for n in (2, 8, 64, 256):
+        c = rand_elems(n)
+        got = fr.unpack_ints(ntt.ntt(dev(c)), mont=True)
+        assert got == naive_ntt(c, n), f"n={n}"
+
+
+def test_intt_roundtrip():
+    n = 128
+    c = rand_elems(n)
+    evals = ntt.ntt(dev(c))
+    back = fr.unpack_ints(ntt.intt(evals), mont=True)
+    assert back == c
+
+
+def test_lde_consistency():
+    """LDE values agree with evaluating the interpolant on the big domain."""
+    n, blowup = 32, 4
+    vals = rand_elems(n)
+    big = ntt.lde(dev(vals), blowup)
+    got = fr.unpack_ints(big, mont=True)
+    # interpolate: coeffs via naive inverse (n small)
+    w = get_root_of_unity(n)
+    n_inv = pow(n, P - 2, P)
+    coeffs = [n_inv * sum(vals[j] * pow(w, -i * j, P) for j in range(n)) % P
+              for i in range(n)]
+    W = get_root_of_unity(n * blowup)
+    want = [sum(c * pow(W, i * j, P) for i, c in enumerate(coeffs)) % P
+            for j in range(n * blowup)]
+    assert got == want
+    # the original points sit at stride `blowup`
+    assert got[::blowup] == vals
+
+
+def test_lde_coset():
+    n, blowup, g = 16, 2, 5
+    vals = rand_elems(n)
+    got = fr.unpack_ints(ntt.lde(dev(vals), blowup, coset_shift=g),
+                         mont=True)
+    w = get_root_of_unity(n)
+    n_inv = pow(n, P - 2, P)
+    coeffs = [n_inv * sum(vals[j] * pow(w, -i * j, P) for j in range(n)) % P
+              for i in range(n)]
+    W = get_root_of_unity(n * blowup)
+    want = [sum(c * pow(g, i, P) * pow(W, i * j, P)
+                for i, c in enumerate(coeffs)) % P
+            for j in range(n * blowup)]
+    assert got == want
+
+
+def test_four_step_matches_flat():
+    n1, n2 = 16, 8
+    c = rand_elems(n1 * n2)
+    flat = fr.unpack_ints(ntt.ntt(dev(c)), mont=True)
+    four = fr.unpack_ints(ntt.ntt_four_step(dev(c), n1, n2), mont=True)
+    assert four == flat
