@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Full benchmark sweep mirroring the reference's end_to_end driver.
+
+Writes `benchmarkdata.csv` with the reference CSV schema
+(end_to_end.rs:41-59): one row per (schedule label, k) with prove/verify
+timings, proof sizes and %-deltas vs the "paper" schedule, plus the plain
+and MF sum-check NIZK rows on stderr.
+
+Env: BENCH_KS="11,12,16" to restrict k values; BENCH_LABELS to restrict
+schedules; BENCH_NIZK=0 to skip the sum-check track.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/stark_mlwe_jax_cache")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from stark_mlwe_tpu.bench import (CSV_HEADER, PRESETS, csv_line,  # noqa: E402
+                                  ks_for_schedule, run_mf_fri,
+                                  run_mf_nizk, run_plain_nizk)
+
+
+def main():
+    ks_filter = None
+    if os.environ.get("BENCH_KS"):
+        ks_filter = {int(x) for x in os.environ["BENCH_KS"].split(",")}
+    labels_filter = None
+    if os.environ.get("BENCH_LABELS"):
+        labels_filter = set(os.environ["BENCH_LABELS"].split(","))
+
+    print(f"# platform={jax.default_backend()}", file=sys.stderr)
+    paper_baseline = {}
+    lines = [CSV_HEADER]
+    print(CSV_HEADER)
+    for label, schedule in PRESETS:
+        if labels_filter and label not in labels_filter:
+            continue
+        for k in ks_for_schedule(schedule):
+            if ks_filter and k not in ks_filter:
+                continue
+            res = run_mf_fri(label, k)
+            eps = (1 << k) / res["prove_s"]
+            base = paper_baseline.get(k)
+            if label == "paper":
+                paper_baseline[k] = {
+                    "proof_bytes": res["proof_bytes"],
+                    "prove_s": res["prove_s"],
+                    "verify_ms": res["verify_ms"], "eps": eps}
+                base = None
+            line = csv_line(label, k, schedule, res["proof_bytes"],
+                            res["prove_s"], res["verify_ms"], base)
+            print(line, flush=True)
+            lines.append(line)
+
+    with open("benchmarkdata.csv", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    if os.environ.get("BENCH_NIZK", "1") != "0":
+        for k in sorted(ks_filter or {12, 14, 16}):
+            r = run_plain_nizk(k)
+            print(f"# e2e_plain k={k}: prove={r['prove_s']:.3f}s "
+                  f"verify={r['verify_ms']:.2f}ms bytes={r['proof_bytes']}",
+                  file=sys.stderr)
+        for k in sorted((ks_filter or {12, 14}) & {12, 14} or {12, 14}):
+            r = run_mf_nizk(k)
+            print(f"# e2e_mf k={k}: prove={r['prove_s']:.3f}s "
+                  f"verify={r['verify_ms']:.2f}ms bytes={r['proof_bytes']}",
+                  file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,48 @@ def run_mf_fri(label: str, k: int, warmup: bool = True,
         "proof_bytes": deep_fri_proof_size_bytes(proof),
         "proof": proof,
     }
+
+
+def run_plain_nizk(k: int, seed: int = 42, warmup: bool = True):
+    """Plain sum-check NIZK timings (end_to_end.rs:130-172)."""
+    from ..channel import prove_plain, verify_plain
+    from ..spec.channel import build_vk_plain
+
+    rng = StdRng.seed_from_u64(seed)
+    witness = [rng.ark_fr_rand() for _ in range(1 << k)]
+    vk = build_vk_plain(k, ds_tag=0xA11CE)
+    if warmup:
+        prove_plain(vk, witness)
+    t0 = time.perf_counter()
+    proof = prove_plain(vk, witness)
+    prove_s = time.perf_counter() - t0
+    verify_plain(vk, proof)
+    t1 = time.perf_counter()
+    ok = verify_plain(vk, proof)
+    verify_ms = (time.perf_counter() - t1) * 1e3
+    assert ok
+    return {"k": k, "prove_s": prove_s, "verify_ms": verify_ms,
+            "proof_bytes": proof.size_bytes()}
+
+
+def run_mf_nizk(k: int, queries_per_round: int = 3, seed: int = 43,
+                warmup: bool = True):
+    """Merkle-folded sum-check NIZK timings (protocol.rs:176-273)."""
+    from ..channel import prove_mf, verify_mf
+    from ..spec.channel import build_vk_mf
+
+    rng = StdRng.seed_from_u64(seed)
+    witness = [rng.ark_fr_rand() for _ in range(1 << k)]
+    vk = build_vk_mf(k, ds_tag=0xB0B, queries_per_round=queries_per_round)
+    if warmup:
+        prove_mf(vk, witness)
+    t0 = time.perf_counter()
+    proof = prove_mf(vk, witness)
+    prove_s = time.perf_counter() - t0
+    verify_mf(vk, proof)
+    t1 = time.perf_counter()
+    ok = verify_mf(vk, proof)
+    verify_ms = (time.perf_counter() - t1) * 1e3
+    assert ok
+    return {"k": k, "prove_s": prove_s, "verify_ms": verify_ms,
+            "proof_bytes": proof.size_bytes()}

@@ -22,8 +22,6 @@ import jax.numpy as jnp
 from .. import merkle as dmk
 from ..mle import DeviceMLE
 from ..ops import fr
-from .. import native
-from ..spec import poseidon as spos
 from ..spec.channel import (COMMIT_ARITY, MFFoldOpenings, MerkleChannelCfg,
                             MerkleProofBytes, ProofMF, ProofPlain, RoundMF,
                             SumCheckMFConfig, VK, _xor_fold_u64,
@@ -31,33 +29,7 @@ from ..spec.channel import (COMMIT_ARITY, MFFoldOpenings, MerkleChannelCfg,
 from ..spec.field import P, fr_from_bytes, fr_to_bytes
 from ..spec.merkle import MerkleChannelCfg as TreeCfg
 from ..spec.merkle import default_params as merkle_default_params
-from ..spec.transcript import (DS_CHALLENGE, RATE, Transcript,
-                               domain_tag_to_field)
-
-
-class FastTranscript(Transcript):
-    """spec.transcript.Transcript with native host permutations."""
-
-    def _permute(self):
-        if native.available():
-            self.state = native.permute_ints(self.state, self.params)
-        else:
-            self.state = spos.permute(self.state, self.params)
-
-    def absorb_fields(self, xs) -> None:
-        for x in xs:
-            if self.pos == RATE:
-                self._permute()
-                self.pos = 0
-            self.state[self.pos] = (self.state[self.pos] + x) % P
-            self.pos += 1
-
-    def challenge(self, label: bytes) -> int:
-        self.absorb_field(domain_tag_to_field(DS_CHALLENGE))
-        self.absorb_bytes(label)
-        self._permute()
-        self.pos = 0
-        return self.state[0]
+from ..transcript import FastTranscript
 
 
 # The channel absorb discipline is pure transcript logic; reuse it verbatim

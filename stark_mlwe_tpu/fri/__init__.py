@@ -43,9 +43,9 @@ from . import fs
 class HostFieldView:
     """Lazy canonical-int view of a device Montgomery array [n,16]."""
 
-    def __init__(self, dev):
+    def __init__(self, dev, ints=None):
         self.dev = dev
-        self._ints = None
+        self._ints = ints
 
     def _mat(self):
         if self._ints is None:
@@ -88,7 +88,8 @@ def s_layer_dev(f_dev, folded_dev, m: int):
 # Layer commits (fri.rs:269-301) on device.
 # ---------------------------------------------------------------------------
 
-def commit_layer_device(ell: int, n: int, m_ell: int, f_dev, s_dev):
+def commit_layer_device(ell: int, n: int, m_ell: int, f_dev, s_dev,
+                        defer_root: bool = False):
     arity = pick_arity_for_layer(n, m_ell)
     hashed = use_hashed_leaves(arity)
     cfg = MerkleChannelCfg.new(arity, tree_label=ell)
@@ -97,7 +98,8 @@ def commit_layer_device(ell: int, n: int, m_ell: int, f_dev, s_dev):
         tree = dmk.build_tree(leaves, cfg)
     else:
         tree = dmk.build_tree_pairs(f_dev, s_dev, cfg)
-    return FriLayerCommitment(n, m_ell, tree.root(),
+    root = None if defer_root else tree.root()
+    return FriLayerCommitment(n, m_ell, root,
                               HostFieldView(f_dev), HostFieldView(s_dev),
                               hashed, tree, cfg)
 
@@ -127,11 +129,49 @@ def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
         m_ell = schedule[ell] if ell < L else 1
         layers.append(commit_layer_device(
             ell, int(f_layers[ell].shape[0]), m_ell,
-            f_layers[ell], s_layers[ell]))
+            f_layers[ell], s_layers[ell], defer_root=True))
 
-    return FriProverState([HostFieldView(f) for f in f_layers],
-                          [HostFieldView(s) for s in s_layers],
+    _bulk_readback(layers, f_layers, s_layers)
+    for lay in layers:
+        lay.root = lay.tree.root()
+    return FriProverState([lay.f for lay in layers],
+                          [lay.s for lay in layers],
                           list(schedule), layers, omega_layers, z_layers)
+
+
+def _bulk_readback(layers, f_layers, s_layers):
+    """ONE device->host transfer for everything proof assembly needs.
+
+    Remote-attached TPUs pay ~0.5 s per host sync; per-level lazy reads
+    would cost dozens.  Concatenate every tree level and every f/s layer,
+    from_mont once on device, transfer once, then distribute the host
+    ints back into the trees and HostFieldViews.
+    """
+    chunks = []
+    sizes = []
+    for lay in layers:
+        for lvl in lay.tree.levels_dev:
+            chunks.append(lvl)
+            sizes.append(int(lvl.shape[0]))
+    for arr in list(f_layers) + list(s_layers):
+        chunks.append(arr)
+        sizes.append(int(arr.shape[0]))
+    bundle = fr.from_mont(jnp.concatenate(chunks, axis=0))
+    ints = fr.unpack_ints(bundle)
+    off = 0
+    parts = []
+    for sz in sizes:
+        parts.append(ints[off:off + sz])
+        off += sz
+    i = 0
+    for lay in layers:
+        for lvl_idx in range(len(lay.tree.levels_dev)):
+            lay.tree._levels_host[lvl_idx] = parts[i]
+            i += 1
+    L1 = len(f_layers)
+    for ell in range(L1):
+        layers[ell].f._ints = parts[i + ell]
+        layers[ell].s._ints = parts[i + L1 + ell]
 
 
 # ---------------------------------------------------------------------------
@@ -167,9 +207,11 @@ class DeviceDeepAliRealBuilder:
                  else None)
         if self.use_blinding:
             f0, _, _ = dali.merge_evals_device(a, s, e, t, domain.omega, z,
-                                               r_eval=r_dev, beta=beta)
+                                               r_eval=r_dev, beta=beta,
+                                               with_c_star=False)
         else:
-            f0, _, _ = dali.merge_evals_device(a, s, e, t, domain.omega, z)
+            f0, _, _ = dali.merge_evals_device(a, s, e, t, domain.omega, z,
+                                               with_c_star=False)
         return f0
 
 

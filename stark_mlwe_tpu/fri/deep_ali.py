@@ -62,11 +62,13 @@ def omega_powers(omega: int, n: int):
 
 
 def merge_evals_device(a, s, e, t, omega: int, z: int,
-                       r_eval=None, beta: int = 0):
+                       r_eval=None, beta: int = 0, with_c_star: bool = True):
     """Device DEEP-ALI merge (deep_ali/src/lib.rs:60-105).
 
     a,s,e,t (and optional r_eval): [n,16] Montgomery device arrays.
-    Returns (f0 [n,16] Montgomery, z, c_star int).
+    Returns (f0 [n,16] Montgomery, z, c_star int).  with_c_star=False
+    skips the device->host sync for c_star (the FRI prover only needs f0;
+    each sync over a remote-attached TPU costs ~0.5 s).
     """
     n = int(a.shape[0])
     assert pow(z, n, P) != 1, "z must be outside H"
@@ -82,6 +84,8 @@ def merge_evals_device(a, s, e, t, omega: int, z: int,
                                           w, z_m, scale_m)
     else:
         f0, phi_z = _merge_kernel(a, s, e, t, w, z_m, scale_m)
+    if not with_c_star:
+        return f0, z, None
     phi_z_int = fr.unpack_ints(phi_z[None, :], mont=True)[0]
     c_star = phi_z_int * pow(zh, P - 2, P) % P
     return f0, z, c_star

@@ -1,4 +1,4 @@
-"""Device-accelerated Fiat-Shamir transcript hashing.
+"""Device/native-accelerated Fiat-Shamir transcript hashing.
 
 The reference drives FS through a Poseidon sponge transcript
 (/root/reference/crates/transcript/src/lib.rs) and hashes *entire witness
@@ -8,10 +8,16 @@ batched device permutation, and *independent* tagged hashes (the four
 ALI/{A,S,E,T} column hashes, the per-(layer,query) index seeds, the
 per-leaf pair hashes) batch across the leading axis.
 
-Everything here is bit-exact against `spec.transcript.Transcript`:
-prefix states are replayed host-side with the golden model, the bulk
-absorption runs on device, and the final challenge squeeze is finished
-host-side on the read-back state.
+Routing: large batches (whole FRI layers of leaf hashes) run on the TPU;
+small batches (query-index seeds, verifier-side leaf recomputation) run
+in the native C++ kernel to avoid host<->device round-trip latency.
+
+Everything is bit-exact against `spec.transcript.Transcript`: prefix
+states are replayed host-side with the golden model, bulk absorption runs
+on device, and the final challenge squeeze is finished host-side.
+
+Caches hold only host (numpy/int) data so they are safe to populate from
+inside jit/shard_map traces.
 """
 
 from __future__ import annotations
@@ -22,13 +28,16 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from .. import native
 from ..ops import fr
 from ..ops import poseidon as dpos
-from ..spec import transcript as str_
 from ..spec.field import P
 from ..spec.transcript import (DS_ABSORB_BYTES, DS_CHALLENGE, RATE, T,
                                Transcript, bytes_to_field_words,
                                default_params, domain_tag_to_field)
+
+# Below this many rows, host-native hashing beats a device dispatch.
+NATIVE_BATCH_CUTOFF = 1024
 
 
 def _dp():
@@ -43,13 +52,10 @@ def transcript_prefix(label: bytes, tag: bytes):
     return tuple(tr.state), tr.pos
 
 
-def resume_transcript(state_ints, pos: int) -> Transcript:
-    """Rebuild a spec Transcript from raw sponge state (host finish)."""
-    tr = Transcript.__new__(Transcript)
-    tr.params = default_params()
-    tr.state = list(state_ints)
-    tr.pos = pos
-    return tr
+def resume_transcript(state_ints, pos: int):
+    """Rebuild a (fast) transcript from raw sponge state (host finish)."""
+    from ..transcript import resume_fast
+    return resume_fast(state_ints, pos)
 
 
 # ---------------------------------------------------------------------------
@@ -58,9 +64,8 @@ def resume_transcript(state_ints, pos: int) -> Transcript:
 
 @lru_cache(maxsize=None)
 def _one_block_consts(label: bytes, tag: bytes, k: int, out_label: bytes):
-    """Constant sponge state for a tagged hash whose row fields + challenge
-    preamble fit in one rate block: returns (const_state [17,16] mont dev,
-    field slot start p0).  Asserts the schedule never crosses a block."""
+    """Constant sponge state (ints + packed numpy Montgomery limbs) for a
+    tagged hash whose row fields + challenge preamble fit in one block."""
     state, p0 = transcript_prefix(label, tag)
     state = list(state)
     assert all(state[i] == 0 for i in range(p0, RATE)), "prefix crossed block"
@@ -70,8 +75,20 @@ def _one_block_consts(label: bytes, tag: bytes, k: int, out_label: bytes):
     assert p0 + k + len(suffix) <= RATE, "tagged hash does not fit one block"
     for i, v in enumerate(suffix):
         state[p0 + k + i] = v
-    dev = jnp.asarray(fr.pack_ints(state, mont=True)).reshape(T, fr.N)
-    return dev, p0
+    packed = fr.pack_ints(state, mont=True).reshape(T, fr.N)
+    return tuple(state), packed, p0
+
+
+def _one_block_hash_native(state_ints, p0, rows, params):
+    """Native path: build the B sponge states and permute once in C++."""
+    B = len(rows)
+    states = []
+    for row in rows:
+        st = list(state_ints)
+        for i, v in enumerate(row):
+            st[p0 + i] = (st[p0 + i] + v) % P
+        states.append(st)
+    return [s[0] for s in native.permute_ints_batch(states, params)]
 
 
 def one_block_tagged_hash_batch(tag: bytes, rows, label: bytes = b"FRI/FS",
@@ -80,12 +97,17 @@ def one_block_tagged_hash_batch(tag: bytes, rows, label: bytes = b"FRI/FS",
     rows of equal length.  rows: list[list[int]] -> list[int]."""
     g = len(rows)
     k = len(rows[0])
+    state_ints, packed, p0 = _one_block_consts(label, tag, k, out_label)
+    rows = [[v % P for v in row] for row in rows]
+    if native.available() and g <= NATIVE_BATCH_CUTOFF:
+        return _one_block_hash_native(state_ints, p0, rows,
+                                      default_params())
     gp = 1
     while gp < g:
         gp *= 2
     rows = rows + [rows[0]] * (gp - g)
-    cs, p0 = _one_block_consts(label, tag, k, out_label)
-    flat = [v % P for row in rows for v in row]
+    cs = jnp.asarray(packed)
+    flat = [v for row in rows for v in row]
     vals = jnp.asarray(fr.pack_ints(flat, mont=True)).reshape(gp, k, fr.N)
     state = jnp.concatenate([
         jnp.broadcast_to(cs[:p0], (gp, p0, fr.N)),
@@ -101,16 +123,17 @@ def one_block_tagged_hash_batch(tag: bytes, rows, label: bytes = b"FRI/FS",
 # one-shot transcript -> exactly one permutation per leaf.
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=None)
 def _leaf_consts():
-    cs, p0 = _one_block_consts(b"FRI/leaf/poseidon", b"FRI/leaf", 2, b"leaf")
+    state_ints, packed, p0 = _one_block_consts(
+        b"FRI/leaf/poseidon", b"FRI/leaf", 2, b"leaf")
     assert p0 == 4
-    return cs
+    return state_ints, packed
 
 
 def hash_leaf_pairs_dev(f_mont, s_mont):
-    """[n,16] x 2 Montgomery -> [n,16] Montgomery leaf digests."""
-    cs = _leaf_consts()
+    """[n,16] x 2 Montgomery -> [n,16] Montgomery leaf digests (device)."""
+    _, packed = _leaf_consts()
+    cs = jnp.asarray(packed)
     n = f_mont.shape[0]
     state = jnp.concatenate([
         jnp.broadcast_to(cs[:4], (n, 4, fr.N)),
@@ -122,8 +145,12 @@ def hash_leaf_pairs_dev(f_mont, s_mont):
 
 
 def hash_leaf_pairs_ints(pairs) -> list:
-    """Host-int convenience with pow2 padding for shape reuse."""
+    """Host-int convenience; native for small batches, device above."""
     g = len(pairs)
+    state_ints, packed = _leaf_consts()
+    if native.available() and g <= NATIVE_BATCH_CUTOFF:
+        return _one_block_hash_native(state_ints, 4, [list(p) for p in pairs],
+                                      default_params())
     gp = 1
     while gp < g:
         gp *= 2

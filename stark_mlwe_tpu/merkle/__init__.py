@@ -41,16 +41,21 @@ from ..spec.poseidon import PoseidonParams, width_for_arity
 # ---------------------------------------------------------------------------
 
 def ds_rows_mont(arity: int, level: int, positions, tree_label: int):
-    """[g, 4, 16] Montgomery DS preambles (DsLabel::to_fields order)."""
+    """[g, 4, 16] Montgomery DS preambles (DsLabel::to_fields order).
+
+    Host-side numpy (safe to call from inside traced contexts); the three
+    constant columns are packed once and tiled.
+    """
     pos = np.asarray(positions, dtype=np.uint64).reshape(-1)
     g = pos.shape[0]
-    m = np.empty((g, 4), dtype=np.uint64)
-    m[:, 0] = arity
-    m[:, 1] = level
-    m[:, 2] = pos
-    m[:, 3] = tree_label
-    canon = jnp.asarray(fr.pack_u64s(m.reshape(-1)))
-    return fr.to_mont(canon).reshape(g, 4, fr.N)
+    consts = fr.pack_ints([arity, level, tree_label], mont=True)
+    pos_limbs = fr.pack_ints([int(p) for p in pos], mont=True)
+    out = np.empty((g, 4, fr.N), dtype=np.uint32)
+    out[:, 0, :] = consts[0]
+    out[:, 1, :] = consts[1]
+    out[:, 2, :] = pos_limbs
+    out[:, 3, :] = consts[2]
+    return out
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -76,9 +81,18 @@ class DeviceMerkleTree:
         self.cfg = cfg
         self.ds_tag = ds_tag
         self.params = params
+        self._levels_host = [None] * len(levels_dev)
+
+    def level_ints(self, level: int) -> list:
+        """Whole level as canonical ints (one bulk transfer, cached) -
+        proof assembly then needs zero further device round trips."""
+        if self._levels_host[level] is None:
+            self._levels_host[level] = fr.unpack_ints(
+                fr.from_mont(self.levels_dev[level]))
+        return self._levels_host[level]
 
     def root(self) -> int:
-        return fr.unpack_ints(fr.from_mont(self.levels_dev[-1]))[0]
+        return self.level_ints(len(self.levels_dev) - 1)[0]
 
     def height(self) -> int:
         return len(self.levels_dev) - 1
@@ -87,12 +101,8 @@ class DeviceMerkleTree:
         return int(self.levels_dev[0].shape[0])
 
     def node_ints(self, level: int, indices) -> list:
-        """Canonical digests of the given nodes at `level` (one gather)."""
-        if len(indices) == 0:
-            return []
-        arr = self.levels_dev[level]
-        g = jnp.take(arr, jnp.asarray(np.asarray(indices, np.int32)), axis=0)
-        return fr.unpack_ints(fr.from_mont(g))
+        lvl = self.level_ints(level)
+        return [lvl[i] for i in indices]
 
     def open_many(self, indices) -> MerkleProof:
         """Union-of-paths multiproof (merkle/src/lib.rs:246-315), built
@@ -222,9 +232,18 @@ def _next_pow2(x: int) -> int:
     return m
 
 
+_NATIVE_CUTOFF = 1024
+
+
 def _hash_groups_ds(entries, arity, level, tree_label, params):
     """entries: list[(parent_idx, children_ints)] with equal child counts.
-    Returns canonical digests (batched device call, padded to pow2)."""
+    Returns canonical digests.  Small batches run in the native C++
+    kernel (no device round trip); large ones batch on device."""
+    from .. import native
+    if native.available() and len(entries) <= _NATIVE_CUTOFF:
+        rows = [[arity, level, pidx, tree_label] + list(children)
+                for pidx, children in entries]
+        return native.hash_ds_dynamic_rows(rows, params)
     g = len(entries)
     gp = _next_pow2(g)
     cc = len(entries[0][1])
@@ -348,16 +367,22 @@ def verify_pairs_ds(root, indices, pairs, proof, tree_label: int,
     req = sorted(set(indices))
     ordered = [pair_map[i] for i in req]
     g = len(req)
-    gp = _next_pow2(g)
-    flat = []
-    for f, cp in ordered + [ordered[0]] * (gp - g):
-        flat.extend((f, cp))
-    arr = jnp.asarray(fr.pack_ints(flat, mont=True)).reshape(gp, 2, fr.N)
-    cfg = MerkleChannelCfg(proof.arity, params, tree_label)
-    dp = dpos.device_params(params)
-    pos = np.array(req + [req[0]] * (gp - g), np.uint64)
-    ds = ds_rows_mont(proof.arity, LEAF_LEVEL_DS, pos, tree_label)
-    leaves = fr.unpack_ints(_hash_level_ds(ds, arr, dp), mont=True)[:g]
+    from .. import native
+    if native.available() and g <= _NATIVE_CUTOFF:
+        rows = [[proof.arity, LEAF_LEVEL_DS, i, tree_label, f, cp]
+                for i, (f, cp) in zip(req, ordered)]
+        leaves = native.hash_ds_dynamic_rows(rows, params)
+    else:
+        gp = _next_pow2(g)
+        flat = []
+        for f, cp in ordered + [ordered[0]] * (gp - g):
+            flat.extend((f, cp))
+        arr = jnp.asarray(fr.pack_ints(flat, mont=True)).reshape(gp, 2, fr.N)
+        dp = dpos.device_params(params)
+        pos = np.array(req + [req[0]] * (gp - g), np.uint64)
+        ds = jnp.asarray(
+            ds_rows_mont(proof.arity, LEAF_LEVEL_DS, pos, tree_label))
+        leaves = fr.unpack_ints(_hash_level_ds(ds, arr, dp), mont=True)[:g]
     return verify_many_ds(root, req, leaves, proof, tree_label, params)
 
 

@@ -95,14 +95,21 @@ def _u64p(a):
 
 def permute_ints(state, params: PoseidonParams) -> list:
     """Spec-equivalent permutation on canonical ints via the native lib."""
+    return permute_ints_batch([state], params)[0]
+
+
+def permute_ints_batch(states, params: PoseidonParams) -> list:
+    """B independent permutations in one native call."""
     lib = _get_lib()
     assert lib is not None
     mds, rcf, rcp = _pack_params(params)
-    buf = np.array([l for v in state for l in _mont_limbs(v)],
-                   dtype=np.uint64)
-    lib.poseidon_permute_batch(_u64p(buf), 1, params.t, params.rf,
+    t = params.t
+    buf = np.array([l for st in states for v in st
+                    for l in _mont_limbs(v)], dtype=np.uint64)
+    lib.poseidon_permute_batch(_u64p(buf), len(states), t, params.rf,
                                params.rp, _u64p(mds), _u64p(rcf), _u64p(rcp))
-    return [_from_mont_limbs(buf[4 * i:4 * i + 4]) for i in range(params.t)]
+    return [[_from_mont_limbs(buf[(b * t + i) * 4:(b * t + i) * 4 + 4])
+             for i in range(t)] for b in range(len(states))]
 
 
 def hash_ds_dynamic_rows(rows, params: PoseidonParams) -> list:

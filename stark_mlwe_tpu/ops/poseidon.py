@@ -38,12 +38,13 @@ class DeviceParams:
         self.rate = params.rate
         self.rf = params.rf
         self.rp = params.rp
-        self.mds_scaled = jnp.asarray(fr.mat_scale(params.mds))
-        self.rc_full = jnp.asarray(
-            fr.pack_ints([c for row in params.rc_full for c in row],
-                         mont=True).reshape(params.rf, params.t, fr.N))
-        self.rc_part = jnp.asarray(
-            fr.pack_ints(params.rc_partial, mont=True))
+        # numpy (not device) constants: safe to build/cache inside traced
+        # contexts - they become per-trace XLA constants at use sites.
+        self.mds_scaled = fr.mat_scale(params.mds)
+        self.rc_full = fr.pack_ints(
+            [c for row in params.rc_full for c in row],
+            mont=True).reshape(params.rf, params.t, fr.N)
+        self.rc_part = fr.pack_ints(params.rc_partial, mont=True)
 
 
 _CACHE: dict = {}
