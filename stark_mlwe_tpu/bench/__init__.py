@@ -117,10 +117,12 @@ def run_mf_fri(label: str, k: int, warmup: bool = True,
     schedule = dict(PRESETS)[label]
     seed = witness_seed_for(label, k)
     a, s, e, t = gen_witness(k, seed)
-    da = jnp.asarray(fr.pack_ints(a, mont=True))
-    ds_ = jnp.asarray(fr.pack_ints(s, mont=True))
-    de = jnp.asarray(fr.pack_ints(e, mont=True))
-    dt_ = jnp.asarray(fr.pack_ints(t, mont=True))
+    # host mont-limb packing: uploaded to device AND used by the native
+    # C++ absorb chains for the ALI column hashes
+    da = fr.pack_ints(a, mont=True)
+    ds_ = fr.pack_ints(s, mont=True)
+    de = fr.pack_ints(e, mont=True)
+    dt_ = fr.pack_ints(t, mont=True)
     params = DeepFriParams(schedule=list(schedule), r=R_QUERIES,
                            seed_z=SEED_Z)
     builder = DeviceDeepAliRealBuilder()

@@ -131,7 +131,9 @@ def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
             ell, int(f_layers[ell].shape[0]), m_ell,
             f_layers[ell], s_layers[ell], defer_root=True))
 
-    _bulk_readback(layers, f_layers, s_layers)
+    from ..utils import phase_timer
+    with phase_timer("fri/bulk_readback"):
+        _bulk_readback(layers, f_layers, s_layers)
     for lay in layers:
         lay.root = lay.tree.root()
     return FriProverState([lay.f for lay in layers],
@@ -181,7 +183,25 @@ def _bulk_readback(layers, f_layers, s_layers):
 def _as_mont_dev(x):
     if isinstance(x, (list, tuple)):
         return jnp.asarray(fr.pack_ints(list(x), mont=True))
-    return x
+    return jnp.asarray(x)
+
+
+def _host_mont_cols(xs):
+    """Host numpy Montgomery limb views of the witness columns, or None.
+
+    Witness columns arrive either as int lists (packed here) or as numpy
+    mont-limb arrays (the packing the caller also uploads); device arrays
+    return None - the device absorb path is used then.
+    """
+    out = []
+    for x in xs:
+        if isinstance(x, (list, tuple)):
+            out.append(fr.pack_ints(list(x), mont=True))
+        elif isinstance(x, np.ndarray):
+            out.append(x)
+        else:
+            return None
+    return out
 
 
 class DeviceDeepAliRealBuilder:
@@ -195,10 +215,24 @@ class DeviceDeepAliRealBuilder:
         self.ds_tag = ds_tag
 
     def build_f0(self, a, s, e, t, n0: int, domain: FriDomain):
-        a, s, e, t = map(_as_mont_dev, (a, s, e, t))
-        stacked = jnp.stack([a, s, e, t], axis=0)
-        ha, hs, he, ht = fs.tagged_hash_vecs(
-            [b"ALI/A", b"ALI/S", b"ALI/E", b"ALI/T"], stacked)
+        from .. import native
+        from ..utils import phase_timer
+
+        host_cols = _host_mont_cols((a, s, e, t))
+        tags = [b"ALI/A", b"ALI/S", b"ALI/E", b"ALI/T"]
+        if host_cols is not None:
+            a, s, e, t = (jnp.asarray(c) for c in host_cols)
+        else:
+            a, s, e, t = map(_as_mont_dev, (a, s, e, t))
+        from ..ops import poseidon as dpos
+        with phase_timer("ali/column_hashes"):
+            if (host_cols is not None and native.available()
+                    and not dpos._pallas_enabled()):
+                # no TPU kernel available: C++ absorb chains on host
+                ha, hs, he, ht = fs.tagged_hash_cols_native(tags, host_cols)
+            else:
+                stacked = jnp.stack([a, s, e, t], axis=0)
+                ha, hs, he, ht = fs.tagged_hash_vecs(tags, stacked)
         seed_f = fs.one_block_tagged_hash_batch(
             b"ALI/seed", [[ha, hs, he, ht, n0 % P]])[0]
         z, beta = ali_sample_z_beta_fs(self.ds_tag, n0, seed_f)
@@ -316,14 +350,20 @@ def fri_prove_queries_dev(st: FriProverState, r: int, roots_seed: int):
 
 def deep_fri_prove(builder, a, s, e, t, n0: int,
                    params: DeepFriParams) -> DeepFriProof:
-    domain0 = FriDomain.new_radix2(n0)
-    f0 = builder.build_f0(a, s, e, t, n0, domain0)
+    from ..utils import phase_timer
 
-    st = fri_build_transcript_dev(f0, domain0, params.schedule, params.seed_z)
+    domain0 = FriDomain.new_radix2(n0)
+    with phase_timer("fri/build_f0"):
+        f0 = builder.build_f0(a, s, e, t, n0, domain0)
+
+    with phase_timer("fri/fold+commit"):
+        st = fri_build_transcript_dev(f0, domain0, params.schedule,
+                                      params.seed_z)
     roots = [lay.root for lay in st.layers]
     roots_seed = fs_seed_from_roots(roots)
-    refs_only, roots2, batches = fri_prove_queries_dev(st, params.r,
-                                                       roots_seed)
+    with phase_timer("fri/queries"):
+        refs_only, roots2, batches = fri_prove_queries_dev(st, params.r,
+                                                           roots_seed)
     assert roots == roots2
 
     queries = []

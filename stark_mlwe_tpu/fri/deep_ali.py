@@ -61,6 +61,37 @@ def omega_powers(omega: int, n: int):
     return fr.powers(base, n)
 
 
+class DeviceDomainH:
+    """Domain cache with a device omega-power table
+    (deep_ali/src/lib.rs:109-215)."""
+
+    def __init__(self, n: int):
+        from ..spec.field import get_root_of_unity
+        self.n = n
+        self.omega = get_root_of_unity(n)
+        self.omega_pows = omega_powers(self.omega, n)
+
+    def eval_lagrange(self, values_dev, z: int) -> int:
+        """Barycentric evaluation of the interpolant at z (z outside H)."""
+        assert pow(z, self.n, P) != 1
+        zh = (pow(z, self.n, P) - 1) % P
+        scale = zh * pow(self.n % P, P - 2, P) % P
+        z_m = jnp.asarray(fr.pack_int(z, mont=True))
+        invs = fr.batch_inv(fr.sub(self.omega_pows, z_m[None, :]))
+        terms = fr.mont_mul(fr.mont_mul(values_dev, self.omega_pows), invs)
+        ssum = fr.neg(fr.reduce_add(terms))
+        scale_m = jnp.asarray(fr.pack_int(scale, mont=True))
+        out = fr.mont_mul(scale_m, ssum)
+        return fr.unpack_ints(out[None, :], mont=True)[0]
+
+    def merge_deep_ali(self, a, s, e, t, z: int):
+        return merge_evals_device(a, s, e, t, self.omega, z)
+
+    def merge_deep_ali_blinded(self, a, s, e, t, r_eval, beta: int, z: int):
+        return merge_evals_device(a, s, e, t, self.omega, z,
+                                  r_eval=r_eval, beta=beta)
+
+
 def merge_evals_device(a, s, e, t, omega: int, z: int,
                        r_eval=None, beta: int = 0, with_c_star: bool = True):
     """Device DEEP-ALI merge (deep_ali/src/lib.rs:60-105).

@@ -164,6 +164,26 @@ def hash_leaf_pairs_ints(pairs) -> list:
 # Long-vector tagged hashes (the ALI/{A,S,E,T} witness-column hashes).
 # ---------------------------------------------------------------------------
 
+def tagged_hash_cols_native(tags, cols_np, label: bytes = b"FRI/FS",
+                            out_label: bytes = b"out") -> list:
+    """Native-threaded sequential absorb chains for host-resident columns.
+
+    cols_np: list of [n,16] uint32 Montgomery limb arrays (the same packing
+    uploaded to the device) - converted to 4x64 limbs with pure numpy, so
+    no per-element bigint work.  The sponge chain is inherently sequential
+    (one permutation per rate block); C++ runs the C chains across OpenMP
+    threads at ~0.5 ms/permutation each.
+    """
+    prefixes = [transcript_prefix(label, t) for t in tags]
+    states = [list(st) for st, _ in prefixes]
+    poss = [p for _, p in prefixes]
+    cols64 = np.stack([native.u32limbs_to_u64(c) for c in cols_np], axis=0)
+    new_states, new_pos = native.absorb_chains(states, poss, cols64,
+                                               default_params())
+    return [resume_transcript(s, p).challenge(out_label)
+            for s, p in zip(new_states, new_pos)]
+
+
 def tagged_hash_vecs(tags, vecs_mont, label: bytes = b"FRI/FS",
                      out_label: bytes = b"out") -> list:
     """Batched `tr_hash_fields_tagged(tag_b, vec_b)` over B independent
@@ -194,7 +214,15 @@ def tagged_hash_vecs(tags, vecs_mont, label: bytes = b"FRI/FS",
         blocks = vecs_mont[:, off:off + nb * RATE, :].reshape(
             B, nb, RATE, fr.N)
         blocks = jnp.moveaxis(blocks, 1, 0)
-        state = dpos.absorb_blocks(state, blocks, dp)
+        if dpos._pallas_enabled():
+            # whole sequential chain as ONE fused kernel launch
+            from ..ops import poseidon_pallas as pp
+            st_bl = jnp.moveaxis(state, 0, -1)          # [t, 16, B]
+            blk_bl = jnp.moveaxis(blocks, 1, -1)        # [nb, rate, 16, B]
+            st_bl = pp.absorb_chain(st_bl, blk_bl, dp)
+            state = jnp.moveaxis(st_bl, -1, 0)
+        else:
+            state = dpos.absorb_blocks(state, blocks, dp)
         off += nb * RATE
     tail = n - off
     if tail:

@@ -30,7 +30,8 @@ _load_failed = False
 
 def _build():
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+        ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+         "-o", _SO, _SRC],
         check=True, capture_output=True)
 
 
@@ -50,6 +51,10 @@ def _get_lib():
         lib.poseidon_hash_ds_dynamic_batch.argtypes = [
             u64p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, u64p, u64p, u64p, u64p, u64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.poseidon_absorb_chains.argtypes = [
+            u64p, u64p, ctypes.c_long, ctypes.c_long, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, u64p, u64p, u64p]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -110,6 +115,44 @@ def permute_ints_batch(states, params: PoseidonParams) -> list:
                                params.rp, _u64p(mds), _u64p(rcf), _u64p(rcp))
     return [[_from_mont_limbs(buf[(b * t + i) * 4:(b * t + i) * 4 + 4])
              for i in range(t)] for b in range(len(states))]
+
+
+def u32limbs_to_u64(arr) -> np.ndarray:
+    """[n,16] uint32 16-bit limbs -> [n,4] uint64 limbs (pure numpy)."""
+    a = np.asarray(arr, dtype=np.uint64).reshape(-1, 16)
+    out = np.zeros((a.shape[0], 4), dtype=np.uint64)
+    for j in range(4):
+        out[:, j] = (a[:, 4 * j] | (a[:, 4 * j + 1] << np.uint64(16))
+                     | (a[:, 4 * j + 2] << np.uint64(32))
+                     | (a[:, 4 * j + 3] << np.uint64(48)))
+    return out
+
+
+def absorb_chains(states_ints, poss, cols_u64, params: PoseidonParams):
+    """C sequential sponge absorb chains in native threads.
+
+    states_ints: list[C] of t-length canonical int states; poss: list[C]
+    cursor positions; cols_u64: [C, n, 4] uint64 Montgomery limb columns
+    (from `u32limbs_to_u64` of mont-packed data).  Returns (new state int
+    lists, new positions) with transcript lazy-permute semantics.
+    """
+    lib = _get_lib()
+    assert lib is not None
+    mds, rcf, rcp = _pack_params(params)
+    C = len(states_ints)
+    t = params.t
+    st = np.array([l for s in states_ints for v in s
+                   for l in _mont_limbs(v)], dtype=np.uint64)
+    pos = np.array(list(poss), dtype=np.int32)
+    cols = np.ascontiguousarray(cols_u64, dtype=np.uint64)
+    n = cols.shape[1]
+    lib.poseidon_absorb_chains(
+        _u64p(st), _u64p(cols), C, n,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t, params.rf, params.rp, _u64p(mds), _u64p(rcf), _u64p(rcp))
+    out_states = [[_from_mont_limbs(st[(c * t + i) * 4:(c * t + i) * 4 + 4])
+                   for i in range(t)] for c in range(C)]
+    return out_states, [int(p) for p in pos]
 
 
 def hash_ds_dynamic_rows(rows, params: PoseidonParams) -> list:

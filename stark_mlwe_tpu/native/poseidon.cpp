@@ -172,4 +172,34 @@ void poseidon_hash_ds_dynamic_batch(const u64 *rows, long B, int nfields,
   }
 }
 
+// Sequential sponge absorb chains (transcript absorb_fields semantics,
+// transcript/src/lib.rs:79-88): C independent chains, each absorbing
+// nfields elements rate-at-a-time into its own state.  The per-chain work
+// is strictly sequential; chains run in parallel threads.
+void poseidon_absorb_chains(u64 *states /* C*t*4, in/out */,
+                            const u64 *fields /* C*nfields*4 */, long C,
+                            long nfields, int *pos_io /* C, in/out */,
+                            int t, int rf, int rp, const u64 *mds,
+                            const u64 *rc_full, const u64 *rc_part) {
+  int rate = t - 1;
+#pragma omp parallel for schedule(static)
+  for (long c = 0; c < C; ++c) {
+    std::vector<u64> cur((size_t)t * 4), nxt((size_t)t * 4);
+    u64 *state = states + (size_t)c * t * 4;
+    const u64 *col = fields + (size_t)c * nfields * 4;
+    int pos = pos_io[c];
+    for (long i = 0; i < nfields; ++i) {
+      if (pos == rate) {
+        permute_one(state, t, rf, rp, mds, rc_full, rc_part, cur.data(),
+                    nxt.data());
+        pos = 0;
+      }
+      fr_add(state + (size_t)pos * 4, col + (size_t)i * 4,
+             state + (size_t)pos * 4);
+      ++pos;
+    }
+    pos_io[c] = pos;
+  }
+}
+
 } // extern "C"

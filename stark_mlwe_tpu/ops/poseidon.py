@@ -58,12 +58,29 @@ def device_params(params: PoseidonParams) -> DeviceParams:
     return _CACHE[key]
 
 
+def _pallas_enabled() -> bool:
+    import os
+    if os.environ.get("STARK_MLWE_NO_PALLAS", "0") not in ("", "0"):
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def permute(state, dp: DeviceParams):
     """Batched permutation: state [..., t, 16] Montgomery -> same shape.
 
     Mirrors poseidon/src/lib.rs:31-68: RF/2 full rounds, RP partial rounds
     (S-box on lane 0 only), RF/2 full rounds; ARK -> S-box -> MDS order.
+
+    On TPU, 3-D batches dispatch to the fused Pallas kernel (one launch
+    per call); elsewhere the lax.scan XLA formulation below runs.
     """
+    if state.ndim == 3 and _pallas_enabled():
+        from . import poseidon_pallas
+        return poseidon_pallas.permute(state, dp)
     half = dp.rf // 2
 
     def full_round(s, rc):

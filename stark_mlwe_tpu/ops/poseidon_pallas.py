@@ -1,0 +1,264 @@
+"""Fused Pallas TPU kernels for the Poseidon permutation.
+
+The XLA-op formulation of the permutation issues a few thousand small
+elementwise kernels per round (limb arithmetic); at 72 rounds that is
+~0.1-1 ms of pure launch overhead per permutation regardless of batch.
+These kernels fuse the WHOLE permutation (ARK -> S-box -> MDS x 72
+rounds) into a single Mosaic program:
+
+  - layout is batch-last: state tiles [t, 16, TB] keep the batch in the
+    128-wide lane dimension and the 16 radix-2^16 limbs on sublanes,
+  - the MDS row sums are accumulated unreduced (coefficients < 2^26) and
+    Montgomery-reduced once per output element (same extended-REDC trick
+    as fr.mat_apply; constants pre-scaled by 2^272),
+  - rounds run under in-kernel fori_loops with round constants dynamically
+    indexed from VMEM,
+  - `absorb_chain` runs an entire sequential sponge chain (one rate-block
+    absorb + permutation per grid step) with the state carried in VMEM
+    across sequential grid iterations - the Fiat-Shamir witness-column
+    hashes (fri.rs:28-35) cost one kernel launch total.
+
+Mosaic layout rules shape the code: unit axes are never inserted next to
+the tiled (last two) dimensions - limb columns are kept as keepdims
+slices [..., 1, TB] and constants ship pre-expanded from the host.
+
+Bit-exact against spec.poseidon.permute.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fr
+from .fr import BITS, MASK, N, U32
+
+TB = 128  # lane-dim batch tile
+
+
+# ---------------------------------------------------------------------------
+# In-kernel field helpers, batch-last layout [..., 16, TB].
+# Limb "columns" are keepdims slices [..., 1, TB]; the shape-agnostic
+# column passes (_norm, _cond_sub_p_cols, _redc_cols) from fr are reused.
+# ---------------------------------------------------------------------------
+
+def _cols_bl(x):
+    return [x[..., k:k + 1, :] for k in range(N)]
+
+
+def _cat_bl(cols):
+    return jnp.concatenate(cols, axis=-2)
+
+
+def _add_bl(a, b):
+    """a [..., 16, TB] + b (broadcastable) mod P."""
+    a, b = jnp.broadcast_arrays(a, b)
+    return _cat_bl(fr._add_cols(_cols_bl(a), _cols_bl(b)))
+
+
+def _mul_bl(a, b):
+    """Montgomery product, batch-last."""
+    a, b = jnp.broadcast_arrays(a, b)
+    nT = 2 * N + 1
+    T = [None] * nT
+    for i in range(N):
+        prod = a[..., i:i + 1, :] * b          # [..., 16, TB]
+        lo = prod & MASK
+        hi = prod >> BITS
+        for k in range(N):
+            lok = lo[..., k:k + 1, :]
+            hik = hi[..., k:k + 1, :]
+            T[i + k] = lok if T[i + k] is None else T[i + k] + lok
+            T[i + k + 1] = hik if T[i + k + 1] is None else T[i + k + 1] + hik
+    T = [jnp.zeros_like(T[0]) if v is None else v for v in T]
+    return _cat_bl(fr._redc_cols(T, N))
+
+
+def _pow5_bl(x):
+    x2 = _mul_bl(x, x)
+    x4 = _mul_bl(x2, x2)
+    return _mul_bl(x4, x)
+
+
+_J_CHUNK = 1  # bound the 4-D MDS temporaries to fit scoped VMEM
+
+
+def _mat_bl(A, s):
+    """MDS apply: A [16, t, t, 1, 1] limb-major pre-expanded constants
+    (scaled by 2^272), s [t, 16, TB] -> [t, 16, TB]."""
+    t = s.shape[0]
+    nT = fr.NRED_MAT + N + 1
+    T = [None] * nT
+    for l in range(N):
+        lo = hi = None
+        for j0 in range(0, t, _J_CHUNK):
+            j1 = min(j0 + _J_CHUNK, t)
+            Alj = A[l, :, j0:j1]                  # [t, jc, 1, 1]
+            sj = jnp.expand_dims(s[j0:j1], 0)     # [1, jc, 16, TB]
+            prod = Alj * sj                       # [t, jc, 16, TB]
+            # Mosaic lacks unsigned reductions: sums fit in int32
+            # (lo/hi < 2^16, <= 17 terms -> < 2^21).
+            lo_c = (prod & MASK).astype(jnp.int32).sum(axis=1)
+            hi_c = (prod >> BITS).astype(jnp.int32).sum(axis=1)
+            lo = lo_c if lo is None else lo + lo_c
+            hi = hi_c if hi is None else hi + hi_c
+        lo = lo.astype(U32)                       # [t, 16, TB]
+        hi = hi.astype(U32)
+        for k in range(N):
+            lok = lo[..., k:k + 1, :]
+            hik = hi[..., k:k + 1, :]
+            T[l + k] = lok if T[l + k] is None else T[l + k] + lok
+            T[l + k + 1] = (hik if T[l + k + 1] is None
+                            else T[l + k + 1] + hik)
+    z = jnp.zeros_like(T[0])
+    T = [z if v is None else v for v in T]
+    return _cat_bl(fr._redc_cols(T, fr.NRED_MAT))
+
+
+def _permute_body(s, mds, rcf_ref, rcp_ref, rf, rp):
+    """The full permutation on a state value s [t, 16, TB].
+
+    Round-constant arrays stay Refs (dynamic VMEM loads inside the
+    fori_loops).  rcf_ref: [rf, t, 16, 1]; rcp_ref: [rp, 1, 16, 1].
+    """
+    half = rf // 2
+
+    def full_round(r, s):
+        rc = rcf_ref[pl.ds(r, 1)][0]              # [t, 16, 1]
+        x = _add_bl(s, rc)
+        x = _pow5_bl(x)
+        return _mat_bl(mds, x)
+
+    def partial_round(r, s):
+        rc = rcp_ref[pl.ds(r, 1)][0]              # [1, 16, 1]
+        x0 = _add_bl(s[0:1], rc)
+        x0 = _pow5_bl(x0)
+        s = jnp.concatenate([x0, s[1:]], axis=0)
+        return _mat_bl(mds, s)
+
+    s = jax.lax.fori_loop(0, half, full_round, s)
+    s = jax.lax.fori_loop(0, rp, partial_round, s)
+    s = jax.lax.fori_loop(half, rf, full_round, s)
+    return s
+
+
+def _const_args(dp):
+    mds = np.transpose(np.asarray(dp.mds_scaled), (2, 0, 1))[..., None, None]
+    rcf = np.asarray(dp.rc_full)[..., None]
+    rcp = np.asarray(dp.rc_part)[:, None, :, None]
+    return jnp.asarray(mds), jnp.asarray(rcf), jnp.asarray(rcp)
+
+
+# ---------------------------------------------------------------------------
+# Batched permutation kernel.
+# ---------------------------------------------------------------------------
+
+def _permute_kernel(rf, rp, mds_ref, rcf_ref, rcp_ref, x_ref, o_ref):
+    o_ref[:] = _permute_body(x_ref[:], mds_ref[:], rcf_ref, rcp_ref, rf, rp)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _permute_tiles(x, dp, interpret):
+    """x: [t, 16, B] with B a multiple of TB."""
+    t, _, B = x.shape
+    rf, rp = dp.rf, dp.rp
+    grid = (B // TB,)
+    out = pl.pallas_call(
+        partial(_permute_kernel, rf, rp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, t, t, 1, 1), lambda i: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rf, t, N, 1), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, 1, N, 1), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, N, TB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, N, TB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, N, B), U32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*_const_args(dp), x)
+    return out
+
+
+def permute(states, dp, interpret: bool = False):
+    """Batched permutation: states [B, t, 16] Montgomery -> same.
+
+    Drop-in replacement for ops.poseidon.permute's 2-D batch form.
+    """
+    B, t, _ = states.shape
+    x = jnp.moveaxis(states, 0, -1)  # [t, 16, B]
+    Bp = -(-B // TB) * TB
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((t, N, Bp - B), dtype=U32)], axis=-1)
+    out = _permute_tiles(x, dp, interpret)
+    return jnp.moveaxis(out[..., :B], -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Whole-sponge absorb chain kernel: C independent chains, nb sequential
+# rate-blocks each.  One kernel launch for the entire chain; the state is
+# carried in the (constant-indexed) output block across grid steps.
+# ---------------------------------------------------------------------------
+
+def _absorb_kernel(rf, rp, rate, mds_ref, rcf_ref, rcp_ref, init_ref,
+                   blocks_ref, state_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        state_ref[:] = init_ref[:]
+
+    s = state_ref[:]                      # [t, 16, C]
+    blk = blocks_ref[0]                   # [rate, 16, C]
+    absorbed = _add_bl(s[:rate], blk)
+    s = jnp.concatenate([absorbed, s[rate:]], axis=0)
+    state_ref[:] = _permute_body(s, mds_ref[:], rcf_ref, rcp_ref, rf, rp)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def absorb_chain(init_state, blocks, dp, interpret: bool = False):
+    """init_state: [t, 16, C]; blocks: [nb, rate, 16, C] (Montgomery).
+
+    Returns the state after nb sequential (absorb block, permute) steps -
+    the transcript bulk-absorption loop (transcript/src/lib.rs:79-88) as
+    ONE kernel launch.
+    """
+    t, _, C = init_state.shape
+    nb, rate = blocks.shape[0], blocks.shape[1]
+    rf, rp = dp.rf, dp.rp
+    out = pl.pallas_call(
+        partial(_absorb_kernel, rf, rp, rate),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((N, t, t, 1, 1), lambda i: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rf, t, N, 1), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, 1, N, 1), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, N, C), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rate, N, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t, N, C), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, N, C), U32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*_const_args(dp), init_state, blocks)
+    return out
