@@ -41,11 +41,19 @@ from . import fs
 
 
 class HostFieldView:
-    """Lazy canonical-int view of a device Montgomery array [n,16]."""
+    """Lazy canonical-int view of a device Montgomery array [n,16].
+
+    Individual entries can be primed sparsely (from a batched gather);
+    full materialization is the fallback.
+    """
 
     def __init__(self, dev, ints=None):
         self.dev = dev
         self._ints = ints
+        self._sparse: dict = {}
+
+    def prime(self, idx_to_int: dict):
+        self._sparse.update(idx_to_int)
 
     def _mat(self):
         if self._ints is None:
@@ -53,6 +61,8 @@ class HostFieldView:
         return self._ints
 
     def __getitem__(self, i):
+        if self._ints is None and i in self._sparse:
+            return self._sparse[i]
         return self._mat()[i]
 
     def __len__(self):
@@ -60,6 +70,40 @@ class HostFieldView:
 
     def __iter__(self):
         return iter(self._mat())
+
+
+class GatherBatch:
+    """Accumulates (array, indices) gathers and resolves them in ONE
+    device->host round trip (a remote-attached TPU pays ~50 ms per sync).
+    Index lists are padded to powers of two for shape reuse."""
+
+    def __init__(self):
+        self._items = []
+
+    def add(self, arr, indices) -> int:
+        """Queue a gather; returns a handle."""
+        self._items.append((arr, [int(i) for i in indices]))
+        return len(self._items) - 1
+
+    def run(self):
+        """Resolves all gathers; returns list of int lists per handle."""
+        parts = []
+        for arr, idxs in self._items:
+            g = max(len(idxs), 1)
+            gp = 1
+            while gp < g:
+                gp *= 2
+            padded = (idxs + [0] * (gp - len(idxs))) if idxs else [0]
+            parts.append(jnp.take(arr, jnp.asarray(padded, jnp.int32),
+                                  axis=0))
+        bundle = fr.from_mont(jnp.concatenate(parts, axis=0))
+        ints = fr.unpack_ints(bundle)
+        out = []
+        off = 0
+        for part, (_, idxs) in zip(parts, self._items):
+            out.append(ints[off:off + len(idxs)])
+            off += int(part.shape[0])
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -132,48 +176,23 @@ def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
             f_layers[ell], s_layers[ell], defer_root=True))
 
     from ..utils import phase_timer
-    with phase_timer("fri/bulk_readback"):
-        _bulk_readback(layers, f_layers, s_layers)
-    for lay in layers:
-        lay.root = lay.tree.root()
+    with phase_timer("fri/roots_readback"):
+        _roots_readback(layers)
     return FriProverState([lay.f for lay in layers],
                           [lay.s for lay in layers],
                           list(schedule), layers, omega_layers, z_layers)
 
 
-def _bulk_readback(layers, f_layers, s_layers):
-    """ONE device->host transfer for everything proof assembly needs.
-
-    Remote-attached TPUs pay ~0.5 s per host sync; per-level lazy reads
-    would cost dozens.  Concatenate every tree level and every f/s layer,
-    from_mont once on device, transfer once, then distribute the host
-    ints back into the trees and HostFieldViews.
-    """
-    chunks = []
-    sizes = []
-    for lay in layers:
-        for lvl in lay.tree.levels_dev:
-            chunks.append(lvl)
-            sizes.append(int(lvl.shape[0]))
-    for arr in list(f_layers) + list(s_layers):
-        chunks.append(arr)
-        sizes.append(int(arr.shape[0]))
-    bundle = fr.from_mont(jnp.concatenate(chunks, axis=0))
+def _roots_readback(layers):
+    """One small sync: just the L+1 root digests (needed for the FS
+    roots_seed before query derivation).  Everything else proof assembly
+    needs is fetched later in ONE batched gather."""
+    bundle = fr.from_mont(jnp.concatenate(
+        [lay.tree.levels_dev[-1] for lay in layers], axis=0))
     ints = fr.unpack_ints(bundle)
-    off = 0
-    parts = []
-    for sz in sizes:
-        parts.append(ints[off:off + sz])
-        off += sz
-    i = 0
-    for lay in layers:
-        for lvl_idx in range(len(lay.tree.levels_dev)):
-            lay.tree._levels_host[lvl_idx] = parts[i]
-            i += 1
-    L1 = len(f_layers)
-    for ell in range(L1):
-        layers[ell].f._ints = parts[i + ell]
-        layers[ell].s._ints = parts[i + L1 + ell]
+    for i, lay in enumerate(layers):
+        lay.tree._levels_host[-1] = [ints[i]]
+        lay.root = ints[i]
 
 
 # ---------------------------------------------------------------------------
@@ -301,17 +320,19 @@ def derive_query_indices_batched(roots_seed: int, schedule, r: int, sizes):
 
 
 def fri_prove_queries_dev(st: FriProverState, r: int, roots_seed: int):
-    """fri.rs:355-466 with batched index derivation; proof assembly is
-    identical to spec.fri.fri_prove_queries."""
+    """fri.rs:355-466 with batched index derivation and ALL value fetches
+    (Merkle path siblings, f/s payload entries, the final pair) resolved
+    in ONE device->host gather; proof assembly is identical to
+    spec.fri.fri_prove_queries."""
     from ..spec.fri import LayerBatchProof, LayerQueryRef
 
     L = len(st.schedule)
     sizes = [lay.n for lay in st.layers]
     idx_map = derive_query_indices_batched(roots_seed, st.schedule, r, sizes)
 
-    refs_per_query = []
     child_buckets = [[] for _ in range(L)]
     parent_buckets = [[] for _ in range(L)]
+    refs_per_query = []
     for q in range(r):
         per_layer = []
         for ell in range(L):
@@ -321,27 +342,83 @@ def fri_prove_queries_dev(st: FriProverState, r: int, roots_seed: int):
             child_buckets[ell].append(i)
             parent_buckets[ell].append(b)
             per_layer.append(LayerQueryRef(i, 0, b, 0))
-        last = st.layers[L]
-        refs_per_query.append(FriQueryPayload(
-            per_layer, [], 0, (last.f[0], last.s[0])))
+        refs_per_query.append(per_layer)
 
-    layer_batches = []
+    # ---- plan everything, then fetch in one batch --------------------
+    batch = GatherBatch()
+    plans = []           # (ell, which, plan, [sibling handles per level])
     for ell in range(L):
         child_idx = sorted(set(child_buckets[ell]))
         parent_idx = sorted(set(parent_buckets[ell]))
-        child_proof = st.layers[ell].tree.open_many(child_idx)
-        parent_proof = st.layers[ell + 1].tree.open_many(parent_idx)
+        for which, tree, idxs in (
+                ("child", st.layers[ell].tree, child_idx),
+                ("parent", st.layers[ell + 1].tree, parent_idx)):
+            plan = tree.open_plan(idxs)
+            handles = [batch.add(tree.levels_dev[lvl], sib)
+                       for lvl, sib in enumerate(plan[1])]
+            plans.append((ell, which, tree, plan, handles, idxs))
+    final_tree = st.layers[L].tree
+    final_plan = final_tree.open_plan([0])
+    final_handles = [batch.add(final_tree.levels_dev[lvl], sib)
+                     for lvl, sib in enumerate(final_plan[1])]
+
+    # payload values: f/s at child indices, f/s at parent indices,
+    # plus the final layer's (f[0], s[0])
+    fs_handles = {}
+    for ell in range(L):
+        child_idx = sorted(set(child_buckets[ell]))
+        parent_idx = sorted(set(parent_buckets[ell]))
+        fs_handles[(ell, "cf")] = (child_idx,
+                                   batch.add(st.layers[ell].f.dev, child_idx))
+        fs_handles[(ell, "cs")] = (child_idx,
+                                   batch.add(st.layers[ell].s.dev, child_idx))
+        fs_handles[(ell, "pf")] = (parent_idx,
+                                   batch.add(st.layers[ell + 1].f.dev,
+                                             parent_idx))
+        fs_handles[(ell, "ps")] = (parent_idx,
+                                   batch.add(st.layers[ell + 1].s.dev,
+                                             parent_idx))
+    h_lastf = batch.add(st.layers[L].f.dev, [0])
+    h_lasts = batch.add(st.layers[L].s.dev, [0])
+
+    resolved = batch.run()
+
+    # prime the layer views so payload assembly needs no further syncs
+    for (ell, key), (idxs, h) in fs_handles.items():
+        view = {"cf": st.layers[ell].f, "cs": st.layers[ell].s,
+                "pf": st.layers[ell + 1].f,
+                "ps": st.layers[ell + 1].s}[key]
+        view.prime(dict(zip(idxs, resolved[h])))
+    st.layers[L].f.prime({0: resolved[h_lastf][0]})
+    st.layers[L].s.prime({0: resolved[h_lasts][0]})
+
+    proofs = {}
+    for ell, which, tree, plan, handles, idxs in plans:
+        values = [resolved[h] for h in handles]
+        proofs[(ell, which)] = (idxs, tree.open_from_plan(plan, values))
+    final_proof = final_tree.open_from_plan(
+        final_plan, [resolved[h] for h in final_handles])
+
+    last = st.layers[L]
+    out_refs = []
+    for q in range(r):
+        out_refs.append(FriQueryPayload(
+            refs_per_query[q], [], 0, (last.f[0], last.s[0])))
+
+    layer_batches = []
+    for ell in range(L):
+        child_idx, child_proof = proofs[(ell, "child")]
+        parent_idx, parent_proof = proofs[(ell, "parent")]
         for q in range(r):
-            ref = refs_per_query[q].per_layer_refs[ell]
+            ref = out_refs[q].per_layer_refs[ell]
             ref.child_pos = child_idx.index(ref.i)
             ref.parent_pos = parent_idx.index(ref.parent_index)
         layer_batches.append(LayerBatchProof(
             st.layers[ell].hashed_leaves, child_idx, child_proof,
             parent_idx, parent_proof))
 
-    final_proof = st.layers[L].tree.open_many([0])
     roots = [lay.root for lay in st.layers]
-    return refs_per_query, roots, FriLayerBatches(layer_batches, final_proof)
+    return out_refs, roots, FriLayerBatches(layer_batches, final_proof)
 
 
 # ---------------------------------------------------------------------------

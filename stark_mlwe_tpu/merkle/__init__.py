@@ -104,16 +104,17 @@ class DeviceMerkleTree:
         lvl = self.level_ints(level)
         return [lvl[i] for i in indices]
 
-    def open_many(self, indices) -> MerkleProof:
-        """Union-of-paths multiproof (merkle/src/lib.rs:246-315), built
-        host-side with one sibling gather per level."""
+    def open_plan(self, indices):
+        """Pure index planning of a union-of-paths multiproof
+        (merkle/src/lib.rs:246-315): (requested, sibling indices per level,
+        group sizes per level).  No value fetches."""
         assert len(indices) > 0, "open_many: empty indices"
         arity = self.arity
         cur = sorted(set(int(i) for i in indices))
         n0 = self.num_leaves()
         assert all(0 <= i < n0 for i in cur)
 
-        siblings_per_level = []
+        sib_indices_per_level = []
         group_sizes_per_level = []
         for level in range(self.height()):
             n_level = int(self.levels_dev[level].shape[0])
@@ -131,12 +132,26 @@ class DeviceMerkleTree:
                 for cpos in range(child_count):
                     if cpos not in opened:
                         sib_indices.append(base + cpos)
-            siblings_per_level.append(self.node_ints(level, sib_indices))
+            sib_indices_per_level.append(sib_indices)
             group_sizes_per_level.append(level_group_sizes)
             cur = sorted(set(i // arity for i in cur))
 
-        return MerkleProof(sorted(set(int(i) for i in indices)),
-                           siblings_per_level, group_sizes_per_level, arity)
+        return (sorted(set(int(i) for i in indices)),
+                sib_indices_per_level, group_sizes_per_level)
+
+    def open_from_plan(self, plan, sibling_values_per_level) -> MerkleProof:
+        req, _, group_sizes = plan
+        return MerkleProof(req, sibling_values_per_level, group_sizes,
+                           self.arity)
+
+    def open_many(self, indices) -> MerkleProof:
+        """Union-of-paths multiproof with values fetched from the cached
+        host levels."""
+        plan = self.open_plan(indices)
+        _, sib_idx, _ = plan
+        values = [self.node_ints(level, idxs)
+                  for level, idxs in enumerate(sib_idx)]
+        return self.open_from_plan(plan, values)
 
     open_many_single = open_many
 

@@ -1,0 +1,28 @@
+"""Bench harness plumbing: seed-chain replay and schedule windows."""
+
+from stark_mlwe_tpu.bench import (PRESETS, k_min_for_schedule,
+                                  ks_for_schedule, witness_seed_for)
+
+
+def test_schedule_windows():
+    assert k_min_for_schedule([16, 16, 8]) == 11
+    assert k_min_for_schedule([128]) == 7
+    assert k_min_for_schedule([128, 128]) == 14
+    assert ks_for_schedule([16, 16, 8]) == list(range(11, 20))
+    assert ks_for_schedule([128, 128]) == list(range(14, 20))
+
+
+def test_seed_chain_replay():
+    """The LCG chain mutates once per executed (label, k) iteration with
+    presets in order (end_to_end.rs:247-248)."""
+    seed = 1337
+    M, A, U = 1103515245, 12345, (1 << 64) - 1
+    expect = {}
+    for label, schedule in PRESETS:
+        for k in ks_for_schedule(schedule):
+            seed = (seed * M + A) & U
+            expect[(label, k)] = seed
+    assert witness_seed_for("paper", 11) == expect[("paper", 11)]
+    assert witness_seed_for("paper", 16) == expect[("paper", 16)]
+    assert witness_seed_for("uni128", 7) == expect[("uni128", 7)]
+    assert witness_seed_for("hi128_32_8", 19) == expect[("hi128_32_8", 19)]

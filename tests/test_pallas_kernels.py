@@ -1,0 +1,60 @@
+"""Pallas fused Poseidon kernels vs the golden spec (interpret mode).
+
+On CPU the kernels run through the Pallas interpreter - slow, so shapes
+are minimal.  On TPU the same code paths are exercised at scale by
+bench.py and the e2e proof-equality tests.
+"""
+
+import random
+
+import pytest
+
+import jax.numpy as jnp
+
+from stark_mlwe_tpu.ops import fr
+from stark_mlwe_tpu.ops import poseidon as dpos
+from stark_mlwe_tpu.ops import poseidon_pallas as pp
+from stark_mlwe_tpu.spec import poseidon as spos
+from stark_mlwe_tpu.spec.field import P
+
+rng = random.Random(0x9A11A5)
+
+
+def test_pallas_permute_interpret_matches_spec():
+    params = spos.params_for_width(17)
+    dp = dpos.device_params(params)
+    B = 2
+    states = [[rng.randrange(P) for _ in range(17)] for _ in range(B)]
+    dev = jnp.asarray(fr.pack_ints(
+        [x for s in states for x in s], mont=True)).reshape(B, 17, fr.N)
+    out = pp.permute(dev, dp, interpret=True)
+    got = fr.unpack_ints(out.reshape(-1, fr.N), mont=True)
+    want = [x for s in states for x in spos.permute(s, params)]
+    assert got == want
+
+
+def test_pallas_absorb_chain_interpret_matches_spec():
+    params = spos.params_for_width(17)
+    dp = dpos.device_params(params)
+    rate, t = params.rate, params.t
+    C, nb = 2, 2
+    fields = [[rng.randrange(P) for _ in range(nb * rate)] for _ in range(C)]
+    want = []
+    for c in range(C):
+        st = [0] * t
+        for b in range(nb):
+            for i in range(rate):
+                st[i] = (st[i] + fields[c][b * rate + i]) % P
+            st = spos.permute(st, params)
+        want.append(st)
+
+    init = jnp.zeros((t, fr.N, C), dtype=fr.U32)
+    blocks = jnp.asarray(fr.pack_ints(
+        [x for f in fields for x in f], mont=True)).reshape(
+            C, nb, rate, fr.N)
+    blocks = jnp.moveaxis(blocks, 0, -1)  # [nb, rate, 16, C]
+    out = pp.absorb_chain(init, blocks, dp, interpret=True)
+    got_states = jnp.moveaxis(out, -1, 0).reshape(C * t, fr.N)
+    got = fr.unpack_ints(got_states, mont=True)
+    want_flat = [x for st in want for x in st]
+    assert got == want_flat
