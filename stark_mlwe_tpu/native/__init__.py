@@ -81,11 +81,21 @@ _MONT_ONE = np.array(_mont_limbs(1), dtype=np.uint64)
 _params_cache: dict = {}
 
 
+_MDS_SCALE_320 = pow(2, 320, P)
+
+
+def _mds320_limbs(x: int) -> list:
+    v = x * _MDS_SCALE_320 % P
+    return [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)]
+
+
 def _pack_params(params: PoseidonParams):
     key = id(params)
     if key not in _params_cache:
+        # MDS is pre-scaled by 2^320 for the lazy-accumulate + extended
+        # REDC path in permute_one (see poseidon.cpp)
         mds = np.array([l for row in params.mds for v in row
-                        for l in _mont_limbs(v)], dtype=np.uint64)
+                        for l in _mds320_limbs(v)], dtype=np.uint64)
         rcf = np.array([l for row in params.rc_full for v in row
                         for l in _mont_limbs(v)], dtype=np.uint64)
         rcp = np.array([l for v in params.rc_partial

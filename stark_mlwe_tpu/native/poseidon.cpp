@@ -84,8 +84,62 @@ static inline void sbox5(u64 *x) {
   fr_mul(x4, x, x);
 }
 
+// ---------------------------------------------------------------------------
+// Lazy MDS: accumulate sum_j M_ij * s_j as a 576-bit integer, then ONE
+// extended REDC (divide by 2^320) per output element.  The matrix must be
+// pre-scaled by 2^320 (python side) so Montgomery form is preserved:
+//   T = sum (M*2^320) * (s*2^256) = (sum M*s) * 2^576;  T * 2^-320 = mont.
+// Bound: T < 17 p^2 < 2^320 * p.
+// ---------------------------------------------------------------------------
+
+static inline void acc_mul(const u64 *a, const u64 *b, u64 *acc /*9*/) {
+  // acc += a*b (4x4 schoolbook, 512-bit product into 9-limb accumulator)
+  u64 prod[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 c = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 cur = (u128)prod[i + j] + (u128)a[i] * b[j] + c;
+      prod[i + j] = (u64)cur;
+      c = cur >> 64;
+    }
+    prod[i + 4] = (u64)c;
+  }
+  u128 carry = 0;
+  for (int i = 0; i < 8; ++i) {
+    u128 cur = (u128)acc[i] + prod[i] + carry;
+    acc[i] = (u64)cur;
+    carry = cur >> 64;
+  }
+  acc[8] += (u64)carry;
+}
+
+static inline void redc320(u64 *T /*10 limbs, in/out*/, u64 *out) {
+  // divide by 2^320 mod p: 5 REDC iterations over 64-bit limbs
+  for (int i = 0; i < 5; ++i) {
+    u64 m = T[i] * N0INV;
+    u128 c = ((u128)T[i] + (u128)m * PL[0]) >> 64;
+    for (int j = 1; j < 4; ++j) {
+      u128 cur = (u128)T[i + j] + (u128)m * PL[j] + c;
+      T[i + j] = (u64)cur;
+      c = cur >> 64;
+    }
+    u128 cur = (u128)T[i + 4] + c;
+    T[i + 4] = (u64)cur;
+    c = cur >> 64;
+    for (int j = i + 5; c && j < 10; ++j) {
+      cur = (u128)T[j] + c;
+      T[j] = (u64)cur;
+      c = cur >> 64;
+    }
+  }
+  u64 r[4] = {T[5], T[6], T[7], T[8]};
+  // T[9] == 0: the reduced value is < 2p < 2^256
+  if (geq_p(r)) sub_p(r);
+  std::memcpy(out, r, 32);
+}
+
 // One full permutation.  All field values in Montgomery form.
-// mds: t*t*4, rc_full: rf*t*4, rc_part: rp*4.
+// mds: t*t*4 PRE-SCALED by 2^320, rc_full: rf*t*4, rc_part: rp*4.
 static void permute_one(u64 *state, int t, int rf, int rp, const u64 *mds,
                         const u64 *rc_full, const u64 *rc_part, u64 *cur,
                         u64 *nxt) {
@@ -94,13 +148,10 @@ static void permute_one(u64 *state, int t, int rf, int rp, const u64 *mds,
 
   auto mds_mul = [&](void) {
     for (int i = 0; i < t; ++i) {
-      u64 acc[4] = {0, 0, 0, 0};
-      u64 prod[4];
-      for (int j = 0; j < t; ++j) {
-        fr_mul(mds + ((size_t)i * t + j) * 4, cur + (size_t)j * 4, prod);
-        fr_add(acc, prod, acc);
-      }
-      std::memcpy(nxt + (size_t)i * 4, acc, 32);
+      u64 T[10] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+      for (int j = 0; j < t; ++j)
+        acc_mul(mds + ((size_t)i * t + j) * 4, cur + (size_t)j * 4, T);
+      redc320(T, nxt + (size_t)i * 4);
     }
     std::memcpy(cur, nxt, (size_t)t * 32);
   };
