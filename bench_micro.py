@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Component micro-benchmarks (reference parity: poseidon.rs, merkle.rs,
+protocol.rs bench surfaces + the NTT/LDE stage).
+
+Prints one JSON line per metric:
+  poseidon_perms_per_s      batched t=17 permutation throughput (1 chip)
+  merkle_build_s            arity-16 DS tree of 2^16 leaves
+  merkle_open_verify_ms     q=64 union-of-paths open + verify
+  ntt_elems_per_s           radix-2 NTT of 2^20 elements
+  mle_commit_s              MLE commit (arity-16 tree) at k=16
+
+Env: MICRO_SIZE (default full).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/stark_mlwe_jax_cache")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def emit(metric, value, unit, vs=None):
+    print(json.dumps({"metric": metric, "value": round(value, 6),
+                      "unit": unit, "vs_baseline": vs}))
+
+
+def main():
+    from stark_mlwe_tpu import merkle as dmk
+    from stark_mlwe_tpu.ops import fr, ntt
+    from stark_mlwe_tpu.ops import poseidon as dpos
+    from stark_mlwe_tpu.spec.merkle import MerkleChannelCfg
+    from stark_mlwe_tpu.spec.poseidon import params_for_width
+
+    rng = np.random.default_rng(0)
+
+    def rand_mont(n):
+        return jnp.asarray(fr.pack_ints(
+            [int(x) for x in rng.integers(0, 1 << 62, size=n)], mont=True))
+
+    # --- poseidon permutation throughput -------------------------------
+    params = params_for_width(17)
+    dp = dpos.device_params(params)
+    B = 1 << 16
+    states = rand_mont(B * 17).reshape(B, 17, fr.N)
+    out = dpos.permute(states, dp)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = dpos.permute(out, dp)  # chained: forces real execution
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    emit("poseidon_t17_perms_per_s", B / dt, "perms/s")
+
+    # --- merkle build + open/verify -------------------------------------
+    n = 1 << 16
+    leaves = rand_mont(n)
+    cfg = MerkleChannelCfg.new(16, tree_label=0)
+    tree = dmk.build_tree(leaves, cfg)
+    tree.root()
+    t0 = time.perf_counter()
+    tree = dmk.build_tree(leaves, cfg)
+    root = tree.root()
+    build_s = time.perf_counter() - t0
+    emit("merkle_build_2e16_s", build_s, "s")
+
+    q = 64
+    idx = sorted(int(i) for i in
+                 rng.choice(n, size=q, replace=False))
+    proof = tree.open_many(idx)
+    vals = tree.node_ints(0, idx)
+    assert dmk.verify_many_ds(root, idx, vals, proof, 0, cfg.params)
+    t0 = time.perf_counter()
+    proof = tree.open_many(idx)
+    ok = dmk.verify_many_ds(root, idx, vals, proof, 0, cfg.params)
+    ov_ms = (time.perf_counter() - t0) * 1e3
+    assert ok
+    emit("merkle_open_verify_q64_ms", ov_ms, "ms")
+
+    # --- NTT throughput --------------------------------------------------
+    m = 1 << 20
+    x = rand_mont(m)
+    y = ntt.ntt(x)
+    y.block_until_ready()
+    t0 = time.perf_counter()
+    y = ntt.ntt(x)
+    y.block_until_ready()
+    dt = time.perf_counter() - t0
+    emit("ntt_2e20_elems_per_s", m / dt, "elems/s")
+    emit("ntt_2e20_s", dt, "s")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,9 +49,20 @@ def k_min_for_schedule(schedule) -> int:
     return prod.bit_length() - 1
 
 
+def _divides_chain(n0: int, schedule) -> bool:
+    n = n0
+    for m in schedule:
+        if n % m:
+            return False
+        n //= m
+    return True
+
+
 def ks_for_schedule(schedule, k_lo=K_LO, k_hi=K_HI):
+    """end_to_end.rs:114-124."""
     kmin = max(k_lo, k_min_for_schedule(schedule))
-    return list(range(kmin, k_hi + 1))
+    return [k for k in range(kmin, k_hi + 1)
+            if _divides_chain(1 << k, schedule)]
 
 
 def witness_seed_for(label: str, k: int) -> int:

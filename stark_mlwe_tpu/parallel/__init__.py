@@ -147,3 +147,60 @@ def build_sharded_prove_step(mesh: Mesh, n: int, m: int, arity: int,
     fn = shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                    check_vma=False)
     return jax.jit(fn), ds_locals, ds_tail
+
+
+# ---------------------------------------------------------------------------
+# Four-step NTT over the mesh: column transforms -> twiddle -> all_to_all
+# transpose over ICI -> row transforms (the TP analogue, SURVEY.md section 2
+# item 4).  Bit-exact with ops.ntt.ntt at any device count.
+# ---------------------------------------------------------------------------
+
+def build_ntt_sharded(mesh: Mesh, n1: int, n2: int, axis: str = "shard"):
+    """Jitted SPMD NTT of size n = n1*n2; input/output sharded on axis 0.
+
+    Input x: [n, 16] Montgomery, in index order i = i1*n2 + i2; output in
+    index order k = j1 + n1*j2 (both contiguously sharded).
+    Requires n1 % D == 0 and n2 % D == 0.
+    """
+    from ..ops import ntt as dntt
+    from ..spec.field import P as _P, get_root_of_unity
+
+    D = mesh.devices.size
+    assert n1 % D == 0 and n2 % D == 0
+    n = n1 * n2
+    omega = get_root_of_unity(n)
+    # full twiddle table w^(i2*j1), laid out [n2, n1]: sharded over i2 rows
+    tw = [pow(omega, i2 * j1, _P)
+          for i2 in range(n2) for j1 in range(n1)]
+    tw_dev = fr.pack_ints(tw, mont=True).reshape(n2, n1, fr.N)
+
+    def step(x, tw_local):
+        # x: local [n/D, 16] = rows [n1/D, n2, 16] (i1 local, i2 full)
+        rows = x.reshape(n1 // D, n2, fr.N)
+        # ---- transpose to column shards via all_to_all ---------------
+        blk = rows.reshape(n1 // D, D, n2 // D, fr.N)
+        blk = jax.lax.all_to_all(blk, axis, split_axis=1, concat_axis=0,
+                                 tiled=True)
+        cols_i1 = blk.reshape(n1, n2 // D, fr.N)  # [i1 full, i2 local]
+        cols = jnp.swapaxes(cols_i1, 0, 1)        # [n2/D, n1, 16]
+        cols = jax.vmap(dntt.ntt)(cols)           # size-n1 transforms -> j1
+        cols = fr.mont_mul(cols, tw_local)        # twiddle w^(i2*j1)
+        # ---- transpose back to j1 shards ------------------------------
+        blk = jnp.swapaxes(cols, 0, 1)            # [n1, n2/D, 16]
+        blk = blk.reshape(D, n1 // D, n2 // D, fr.N)
+        blk = jax.lax.all_to_all(blk, axis, split_axis=0, concat_axis=2,
+                                 tiled=True)
+        rows_j1 = blk.reshape(n1 // D, n2, fr.N)  # [j1 local, i2 full]
+        rows2 = jax.vmap(dntt.ntt)(rows_j1)       # size-n2 transforms -> j2
+        # ---- redistribute to contiguous k = j1 + n1*j2 -----------------
+        out = rows2.reshape(n1 // D, D, n2 // D, fr.N)
+        out = jax.lax.all_to_all(out, axis, split_axis=1, concat_axis=0,
+                                 tiled=True)
+        out = out.reshape(n1, n2 // D, fr.N)      # [j1 full, j2 local]
+        out = jnp.swapaxes(out, 0, 1)             # [n2/D, n1, 16]
+        return out.reshape(n2 // D * n1, fr.N)
+
+    shard = PS(axis)
+    fn = shard_map(step, mesh=mesh, in_specs=(shard, shard),
+                   out_specs=shard, check_vma=False)
+    return jax.jit(fn), tw_dev

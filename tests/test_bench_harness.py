@@ -24,5 +24,5 @@ def test_seed_chain_replay():
             expect[(label, k)] = seed
     assert witness_seed_for("paper", 11) == expect[("paper", 11)]
     assert witness_seed_for("paper", 16) == expect[("paper", 16)]
-    assert witness_seed_for("uni128", 7) == expect[("uni128", 7)]
+    assert witness_seed_for("uni128", 11) == expect[("uni128", 11)]
     assert witness_seed_for("hi128_32_8", 19) == expect[("hi128_32_8", 19)]

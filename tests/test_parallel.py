@@ -71,3 +71,20 @@ def test_sharded_step_matches_single_chip(n_dev):
     from stark_mlwe_tpu.spec.deep_ali import lagrange_eval_on_h
     phi_spec = [(a[i] * s[i] + e[i] - t[i]) % P for i in range(n)]
     assert phi_z_int == lagrange_eval_on_h(phi_spec, z, omega)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_ntt_sharded_matches_single_chip(n_dev):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    from stark_mlwe_tpu.ops import ntt as dntt
+
+    n1, n2 = 16, 16
+    n = n1 * n2
+    mesh = par.make_mesh(n_dev)
+    fn, tw = par.build_ntt_sharded(mesh, n1, n2)
+    c = rand_elems(n)
+    x = dev(c)
+    got = fr.unpack_ints(fn(x, jnp.asarray(tw)), mont=True)
+    want = fr.unpack_ints(dntt.ntt(x), mont=True)
+    assert got == want
