@@ -31,9 +31,11 @@ from . import fr
 class DeviceParams:
     """Poseidon parameters packed for device kernels."""
 
-    __slots__ = ("t", "rate", "rf", "rp", "mds_scaled", "rc_full", "rc_part")
+    __slots__ = ("t", "rate", "rf", "rp", "mds_scaled", "rc_full", "rc_part",
+                 "spec_params")
 
     def __init__(self, params: PoseidonParams):
+        self.spec_params = params
         self.t = params.t
         self.rate = params.rate
         self.rf = params.rf

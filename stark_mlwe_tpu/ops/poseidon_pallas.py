@@ -86,6 +86,78 @@ def _pow5_bl(x):
     return _mul_bl(x4, x)
 
 
+# ---------------------------------------------------------------------------
+# MXU MDS: the t x t constant-matrix multiply over 16-limb field elements
+# is ONE linear map from the 544 input byte-digits to the 1088 output
+# radix-2^8 coefficients.  Nibble-decomposed int8 matmuls keep every
+# partial sum exact in int32 (products <= 15*15, <= 544 terms, recombined
+# with 16^(p+q) <= 256 -> < 2^26), and the systolic array does in ~0.8 us
+# what costs the VPU hundreds of issue slots.
+# ---------------------------------------------------------------------------
+
+def mxu_mds_planes(params_mds, t: int):
+    """Host-side constant builder: (W_lo, W_hi) int8 [t*64, t*32].
+
+    W8[(i,k'),(j,m)] = byte_{k'-d(m)} (M[i,j] * 2^272 mod P) with the input
+    row convention m<16 -> byte0 of limb m (digit 2m), m>=16 -> byte1 of
+    limb m-16 (digit 2(m-16)+1), matching the in-kernel digit layout.
+    """
+    from ..spec.field import P as _P
+
+    B = np.zeros((t, t, 32), np.int16)
+    for i in range(t):
+        for j in range(t):
+            v = params_mds[i][j] * fr.MAT_SCALE % _P
+            for b in range(32):
+                B[i, j, b] = (v >> (8 * b)) & 0xFF
+    d_of_m = np.array([2 * m if m < 16 else 2 * (m - 16) + 1
+                       for m in range(32)])
+    l1 = np.arange(64)[:, None] - d_of_m[None, :]   # [64, 32]
+    valid = (l1 >= 0) & (l1 < 32)
+    l1c = np.clip(l1, 0, 31)
+    W8 = np.zeros((t * 64, t * 32), np.int16)
+    for i in range(t):
+        for j in range(t):
+            W8[i * 64:(i + 1) * 64, j * 32:(j + 1) * 32] = \
+                np.where(valid, B[i, j][l1c], 0)
+    return ((W8 & 0xF).astype(np.int8), (W8 >> 4).astype(np.int8))
+
+
+def _mat_bl_mxu(wlo_ref, whi_ref, s):
+    """MDS apply on the MXU: s [t, 16, TB] -> [t, 16, TB]."""
+    t = s.shape[0]
+    tb = s.shape[-1]
+    lo_b = (s & 0xFF).astype(jnp.int32)
+    hi_b = (s >> 8).astype(jnp.int32)
+    sflat = jnp.concatenate([lo_b, hi_b], axis=-2).reshape(t * 32, tb)
+    s_lo = (sflat & 0xF).astype(jnp.int8)
+    s_hi = (sflat >> 4).astype(jnp.int8)
+
+    def dot(w, v):
+        return jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    wlo = wlo_ref[:]
+    whi = whi_ref[:]
+    t8 = (dot(wlo, s_lo) + ((dot(wlo, s_hi) + dot(whi, s_lo)) << 4)
+          + (dot(whi, s_hi) << 8))
+    t8 = t8.reshape(t, 64, tb)
+
+    # radix 2^8 -> 2^16 with one carry fold; feed the extended REDC
+    nT = fr.NRED_MAT + N + 1
+    T = [None] * nT
+    for k in range(32):
+        ev = t8[:, 2 * k:2 * k + 1, :]
+        od = t8[:, 2 * k + 1:2 * k + 2, :]
+        val = (ev + ((od & 0xFF) << 8)).astype(U32)
+        carry = (od >> 8).astype(U32)
+        T[k] = val if T[k] is None else T[k] + val
+        T[k + 1] = carry if T[k + 1] is None else T[k + 1] + carry
+    z = jnp.zeros_like(T[0])
+    T = [z if v is None else v for v in T]
+    return _cat_bl(fr._redc_cols(T, fr.NRED_MAT))
+
+
 _J_CHUNK = 1  # bound the 4-D MDS temporaries to fit scoped VMEM
 
 
@@ -121,11 +193,12 @@ def _mat_bl(A, s):
     return _cat_bl(fr._redc_cols(T, fr.NRED_MAT))
 
 
-def _permute_body(s, mds, rcf_ref, rcp_ref, rf, rp):
+def _permute_body(s, wlo_ref, whi_ref, rcf_ref, rcp_ref, rf, rp):
     """The full permutation on a state value s [t, 16, TB].
 
     Round-constant arrays stay Refs (dynamic VMEM loads inside the
     fori_loops).  rcf_ref: [rf, t, 16, 1]; rcp_ref: [rp, 1, 16, 1].
+    The MDS runs on the MXU (nibble int8 matmul planes wlo/whi).
     """
     half = rf // 2
 
@@ -133,14 +206,14 @@ def _permute_body(s, mds, rcf_ref, rcp_ref, rf, rp):
         rc = rcf_ref[pl.ds(r, 1)][0]              # [t, 16, 1]
         x = _add_bl(s, rc)
         x = _pow5_bl(x)
-        return _mat_bl(mds, x)
+        return _mat_bl_mxu(wlo_ref, whi_ref, x)
 
     def partial_round(r, s):
         rc = rcp_ref[pl.ds(r, 1)][0]              # [1, 16, 1]
         x0 = _add_bl(s[0:1], rc)
         x0 = _pow5_bl(x0)
         s = jnp.concatenate([x0, s[1:]], axis=0)
-        return _mat_bl(mds, s)
+        return _mat_bl_mxu(wlo_ref, whi_ref, s)
 
     s = jax.lax.fori_loop(0, half, full_round, s)
     s = jax.lax.fori_loop(0, rp, partial_round, s)
@@ -148,19 +221,30 @@ def _permute_body(s, mds, rcf_ref, rcp_ref, rf, rp):
     return s
 
 
+_mxu_cache: dict = {}
+
+
 def _const_args(dp):
-    mds = np.transpose(np.asarray(dp.mds_scaled), (2, 0, 1))[..., None, None]
-    rcf = np.asarray(dp.rc_full)[..., None]
-    rcp = np.asarray(dp.rc_part)[:, None, :, None]
-    return jnp.asarray(mds), jnp.asarray(rcf), jnp.asarray(rcp)
+    key = id(dp)
+    if key not in _mxu_cache:
+        wlo, whi = mxu_mds_planes(dp.spec_params.mds, dp.t)
+        _mxu_cache[key] = (
+            wlo, whi,
+            np.asarray(dp.rc_full)[..., None],
+            np.asarray(dp.rc_part)[:, None, :, None])
+    wlo, whi, rcf, rcp = _mxu_cache[key]
+    return (jnp.asarray(wlo), jnp.asarray(whi), jnp.asarray(rcf),
+            jnp.asarray(rcp))
 
 
 # ---------------------------------------------------------------------------
 # Batched permutation kernel.
 # ---------------------------------------------------------------------------
 
-def _permute_kernel(rf, rp, mds_ref, rcf_ref, rcp_ref, x_ref, o_ref):
-    o_ref[:] = _permute_body(x_ref[:], mds_ref[:], rcf_ref, rcp_ref, rf, rp)
+def _permute_kernel(rf, rp, wlo_ref, whi_ref, rcf_ref, rcp_ref, x_ref,
+                    o_ref):
+    o_ref[:] = _permute_body(x_ref[:], wlo_ref, whi_ref, rcf_ref, rcp_ref,
+                             rf, rp)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -173,7 +257,9 @@ def _permute_tiles(x, dp, interpret):
         partial(_permute_kernel, rf, rp),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((N, t, t, 1, 1), lambda i: (0, 0, 0, 0, 0),
+            pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rf, t, N, 1), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -213,8 +299,8 @@ def permute(states, dp, interpret: bool = False):
 # carried in the (constant-indexed) output block across grid steps.
 # ---------------------------------------------------------------------------
 
-def _absorb_kernel(rf, rp, rate, mds_ref, rcf_ref, rcp_ref, init_ref,
-                   blocks_ref, state_ref):
+def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, rcf_ref, rcp_ref,
+                   init_ref, blocks_ref, state_ref):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -225,7 +311,8 @@ def _absorb_kernel(rf, rp, rate, mds_ref, rcf_ref, rcp_ref, init_ref,
     blk = blocks_ref[0]                   # [rate, 16, C]
     absorbed = _add_bl(s[:rate], blk)
     s = jnp.concatenate([absorbed, s[rate:]], axis=0)
-    state_ref[:] = _permute_body(s, mds_ref[:], rcf_ref, rcp_ref, rf, rp)
+    state_ref[:] = _permute_body(s, wlo_ref, whi_ref, rcf_ref, rcp_ref,
+                                 rf, rp)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -243,7 +330,9 @@ def absorb_chain(init_state, blocks, dp, interpret: bool = False):
         partial(_absorb_kernel, rf, rp, rate),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((N, t, t, 1, 1), lambda i: (0, 0, 0, 0, 0),
+            pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rf, t, N, 1), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
