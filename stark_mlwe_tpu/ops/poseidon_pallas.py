@@ -62,22 +62,76 @@ def _add_bl(a, b):
     return _cat_bl(fr._add_cols(_cols_bl(a), _cols_bl(b)))
 
 
+# [1, 16, 1] modulus limb row: passed into kernels as an input (Pallas
+# kernels may not capture array constants).
+P_ROW_NP = np.asarray(fr.P_LIMBS_PY, np.uint32)[None, :, None]
+_PROW_REF = None  # set per kernel invocation via _set_prow
+
+
+def _p_row():
+    assert _PROW_REF is not None
+    return _PROW_REF
+
+
+def _shift_rows(x, rows: int, shift: int):
+    """Place x's limb rows at offset `shift` inside a `rows`-row frame:
+    zero-pad on the limb axis then (non-wrapping) circular roll."""
+    lead = x.shape[:-2]
+    pad = jnp.zeros(lead + (rows - x.shape[-2], x.shape[-1]), dtype=x.dtype)
+    framed = jnp.concatenate([x, pad], axis=-2)
+    if shift == 0:
+        return framed
+    return pltpu.roll(framed, shift, axis=framed.ndim - 2)
+
+
+class _prow_scope:
+    def __init__(self, prow_ref):
+        self.prow_ref = prow_ref
+
+    def __enter__(self):
+        global _PROW_REF
+        self._saved = _PROW_REF
+        _PROW_REF = self.prow_ref[:]
+        return self
+
+    def __exit__(self, *exc):
+        global _PROW_REF
+        _PROW_REF = self._saved
+        return False
+
+
 def _mul_bl(a, b):
-    """Montgomery product, batch-last."""
+    """Montgomery product, batch-last, with roll-based accumulation.
+
+    Phase 1 places each partial-product row block with a sublane roll
+    instead of 32 single-row adds; the 16-step REDC keeps a running carry
+    column so only whole [16, TB] blocks are ever added.
+    """
     a, b = jnp.broadcast_arrays(a, b)
     nT = 2 * N + 1
-    T = [None] * nT
+    T = None
     for i in range(N):
         prod = a[..., i:i + 1, :] * b          # [..., 16, TB]
         lo = prod & MASK
         hi = prod >> BITS
-        for k in range(N):
-            lok = lo[..., k:k + 1, :]
-            hik = hi[..., k:k + 1, :]
-            T[i + k] = lok if T[i + k] is None else T[i + k] + lok
-            T[i + k + 1] = hik if T[i + k + 1] is None else T[i + k + 1] + hik
-    T = [jnp.zeros_like(T[0]) if v is None else v for v in T]
-    return _cat_bl(fr._redc_cols(T, N))
+        upd = _shift_rows(lo, nT, i) + _shift_rows(hi, nT, i + 1)
+        T = upd if T is None else T + upd
+    # REDC: divide by 2^256
+    p_row = _p_row()
+    carry = jnp.zeros_like(T[..., 0:1, :])
+    for i in range(N):
+        vi = T[..., i:i + 1, :] + carry
+        ti = vi & MASK
+        m = (ti * jnp.uint32(fr.N0INV)) & MASK
+        prod = m * p_row                        # [..., 16, TB]
+        lo = prod & MASK
+        hi = prod >> BITS
+        T = T + _shift_rows(lo, nT, i) + _shift_rows(hi, nT, i + 1)
+        carry = (vi >> BITS) + ((ti + lo[..., 0:1, :]) >> BITS)
+    cols = [T[..., N + k:N + k + 1, :] for k in range(N + 1)]
+    cols[0] = cols[0] + carry
+    out, _ = fr._norm(cols)
+    return _cat_bl(fr._cond_sub_p_cols(out[:N]))
 
 
 def _pow5_bl(x):
@@ -241,10 +295,11 @@ def _const_args(dp):
 # Batched permutation kernel.
 # ---------------------------------------------------------------------------
 
-def _permute_kernel(rf, rp, wlo_ref, whi_ref, rcf_ref, rcp_ref, x_ref,
-                    o_ref):
-    o_ref[:] = _permute_body(x_ref[:], wlo_ref, whi_ref, rcf_ref, rcp_ref,
-                             rf, rp)
+def _permute_kernel(rf, rp, wlo_ref, whi_ref, rcf_ref, rcp_ref, prow_ref,
+                    x_ref, o_ref):
+    with _prow_scope(prow_ref):
+        o_ref[:] = _permute_body(x_ref[:], wlo_ref, whi_ref, rcf_ref,
+                                 rcp_ref, rf, rp)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -265,6 +320,8 @@ def _permute_tiles(x, dp, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rp, 1, N, 1), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((t, N, TB), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -274,7 +331,7 @@ def _permute_tiles(x, dp, interpret):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*_const_args(dp), x)
+    )(*_const_args(dp), jnp.asarray(P_ROW_NP), x)
     return out
 
 
@@ -300,19 +357,20 @@ def permute(states, dp, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, rcf_ref, rcp_ref,
-                   init_ref, blocks_ref, state_ref):
+                   prow_ref, init_ref, blocks_ref, state_ref):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         state_ref[:] = init_ref[:]
 
-    s = state_ref[:]                      # [t, 16, C]
-    blk = blocks_ref[0]                   # [rate, 16, C]
-    absorbed = _add_bl(s[:rate], blk)
-    s = jnp.concatenate([absorbed, s[rate:]], axis=0)
-    state_ref[:] = _permute_body(s, wlo_ref, whi_ref, rcf_ref, rcp_ref,
-                                 rf, rp)
+    with _prow_scope(prow_ref):
+        s = state_ref[:]                  # [t, 16, C]
+        blk = blocks_ref[0]               # [rate, 16, C]
+        absorbed = _add_bl(s[:rate], blk)
+        s = jnp.concatenate([absorbed, s[rate:]], axis=0)
+        state_ref[:] = _permute_body(s, wlo_ref, whi_ref, rcf_ref, rcp_ref,
+                                     rf, rp)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -338,6 +396,8 @@ def absorb_chain(init_state, blocks, dp, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rp, 1, N, 1), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((t, N, C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rate, N, C), lambda i: (i, 0, 0, 0),
@@ -349,5 +409,5 @@ def absorb_chain(init_state, blocks, dp, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*_const_args(dp), init_state, blocks)
+    )(*_const_args(dp), jnp.asarray(P_ROW_NP), init_state, blocks)
     return out
