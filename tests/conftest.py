@@ -1,15 +1,16 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Multi-chip hardware is not available in CI; sharding correctness is tested
-on host-platform virtual devices.  These env vars must be set before the
-first `import jax` anywhere in the test process.
+Default platform is an 8-virtual-device CPU mesh (sharding tests need it,
+and it works on any machine).  Device-heavy kernel tests compile much
+faster against the real TPU backend; select it with
+STARK_TESTS_PLATFORM=tpu (used by the repo's test driver for the
+kernel-heavy files).  These env vars must be set before the first
+`import jax` in the process.
 """
 
 import os
 
-# Force CPU even when the environment preselects a TPU platform (axon):
-# tests validate sharding on 8 virtual host devices.
-os.environ["JAX_PLATFORMS"] = "cpu"
+_platform = os.environ.get("STARK_TESTS_PLATFORM", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,8 +20,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 # identical across test runs.
 import jax  # noqa: E402
 
-# The axon sitecustomize re-forces JAX_PLATFORMS=axon; the config update
-# below is authoritative and restores the 8-device virtual CPU platform.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/stark_mlwe_jax_cache")
+if _platform == "cpu":
+    # The axon sitecustomize re-forces JAX_PLATFORMS=axon; the config
+    # update below is authoritative.
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/stark_mlwe_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
