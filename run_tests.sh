@@ -7,6 +7,7 @@ set -u
 fail=0
 
 CPU_FILES="tests/test_spec_field.py tests/test_spec_poseidon.py \
+tests/test_poseidon_opt.py \
 tests/test_spec_merkle.py tests/test_spec_mle_deepali.py \
 tests/test_spec_fri.py tests/test_spec_channel.py \
 tests/test_bench_harness.py tests/test_poly_utils.py \

@@ -45,16 +45,20 @@ def _get_lib():
             _build()
         lib = ctypes.CDLL(_SO)
         u64p = ctypes.POINTER(ctypes.c_uint64)
-        lib.poseidon_permute_batch.argtypes = [
+        lib.poseidon_permute_batch_opt.argtypes = [
             u64p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            u64p, u64p, u64p]
-        lib.poseidon_hash_ds_dynamic_batch.argtypes = [
+            u64p, u64p, u64p, u64p, u64p, u64p]
+        lib.poseidon_hash_ds_dynamic_batch_opt.argtypes = [
             u64p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, u64p, u64p, u64p, u64p, u64p]
+            ctypes.c_int, u64p, u64p, u64p, u64p, u64p, u64p, u64p, u64p]
         i32p = ctypes.POINTER(ctypes.c_int32)
-        lib.poseidon_absorb_chains.argtypes = [
+        lib.poseidon_absorb_chains_opt.argtypes = [
             u64p, u64p, ctypes.c_long, ctypes.c_long, i32p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, u64p, u64p, u64p]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, u64p, u64p, u64p,
+            u64p, u64p, u64p]
+        lib.poseidon_factorize.argtypes = [
+            u64p, ctypes.c_int, ctypes.c_int, u64p, u64p, u64p, u64p]
+        lib.poseidon_factorize.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _load_failed = True
@@ -89,6 +93,36 @@ def _mds320_limbs(x: int) -> list:
     return [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)]
 
 
+def factorize_mds(mds, t: int, rp: int):
+    """Partial-round factorization computed in C++ (Montgomery mod-p
+    Gauss-Jordan; ~ms for t=17, ~15 s for t=129).  Returns
+    (q_rows, q_cols, m_final) as canonical int lists, or None if the
+    native library is unavailable or a submatrix was singular."""
+    lib = _get_lib()
+    if lib is None or rp < 2:
+        return None
+    m = np.array([l for row in mds for v in row for l in _mont_limbs(v)],
+                 dtype=np.uint64)
+    qrow = np.zeros((rp - 1) * t * 4, dtype=np.uint64)
+    qcol = np.zeros((rp - 1) * (t - 1) * 4, dtype=np.uint64)
+    mf = np.zeros(t * t * 4, dtype=np.uint64)
+    rcode = lib.poseidon_factorize(_u64p(m), t, rp, _u64p(_MONT_ONE),
+                                   _u64p(qrow), _u64p(qcol), _u64p(mf))
+    if rcode != 0:
+        return None
+
+    def ints(arr, shape_outer):
+        a = arr.reshape(-1, 4)
+        vals = [_from_mont_limbs(a[i]) for i in range(a.shape[0])]
+        per = len(vals) // shape_outer
+        return [vals[i * per:(i + 1) * per] for i in range(shape_outer)]
+
+    q_rows = ints(qrow, rp - 1)
+    q_cols = ints(qcol, rp - 1)
+    mf_rows = ints(mf, t)
+    return q_rows, q_cols, mf_rows
+
+
 def _pack_params(params: PoseidonParams):
     key = id(params)
     if key not in _params_cache:
@@ -100,8 +134,27 @@ def _pack_params(params: PoseidonParams):
                         for l in _mont_limbs(v)], dtype=np.uint64)
         rcp = np.array([l for v in params.rc_partial
                         for l in _mont_limbs(v)], dtype=np.uint64)
-        _params_cache[key] = (mds, rcf, rcp)
+        try:
+            from ..spec.poseidon_opt import partial_round_factorization
+            fac = partial_round_factorization(params)
+            qrow = np.array([l for row in fac.q_rows for v in row
+                             for l in _mds320_limbs(v)], dtype=np.uint64)
+            qcol = np.array([l for row in fac.q_cols for v in row
+                             for l in _mds320_limbs(v)], dtype=np.uint64)
+            mfin = np.array([l for row in fac.m_final for v in row
+                             for l in _mds320_limbs(v)], dtype=np.uint64)
+        except Exception:
+            qrow = qcol = mfin = None
+        _params_cache[key] = (mds, rcf, rcp, qrow, qcol, mfin)
     return _params_cache[key]
+
+
+_NULL_U64P = ctypes.POINTER(ctypes.c_uint64)()
+
+
+def _u64p_opt(a):
+    return _NULL_U64P if a is None else a.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint64))
 
 
 def _u64p(a):
@@ -117,12 +170,14 @@ def permute_ints_batch(states, params: PoseidonParams) -> list:
     """B independent permutations in one native call."""
     lib = _get_lib()
     assert lib is not None
-    mds, rcf, rcp = _pack_params(params)
+    mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
     t = params.t
     buf = np.array([l for st in states for v in st
                     for l in _mont_limbs(v)], dtype=np.uint64)
-    lib.poseidon_permute_batch(_u64p(buf), len(states), t, params.rf,
-                               params.rp, _u64p(mds), _u64p(rcf), _u64p(rcp))
+    lib.poseidon_permute_batch_opt(
+        _u64p(buf), len(states), t, params.rf, params.rp,
+        _u64p(mds), _u64p(rcf), _u64p(rcp),
+        _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
     return [[_from_mont_limbs(buf[(b * t + i) * 4:(b * t + i) * 4 + 4])
              for i in range(t)] for b in range(len(states))]
 
@@ -148,7 +203,7 @@ def absorb_chains(states_ints, poss, cols_u64, params: PoseidonParams):
     """
     lib = _get_lib()
     assert lib is not None
-    mds, rcf, rcp = _pack_params(params)
+    mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
     C = len(states_ints)
     t = params.t
     st = np.array([l for s in states_ints for v in s
@@ -156,10 +211,11 @@ def absorb_chains(states_ints, poss, cols_u64, params: PoseidonParams):
     pos = np.array(list(poss), dtype=np.int32)
     cols = np.ascontiguousarray(cols_u64, dtype=np.uint64)
     n = cols.shape[1]
-    lib.poseidon_absorb_chains(
+    lib.poseidon_absorb_chains_opt(
         _u64p(st), _u64p(cols), C, n,
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        t, params.rf, params.rp, _u64p(mds), _u64p(rcf), _u64p(rcp))
+        t, params.rf, params.rp, _u64p(mds), _u64p(rcf), _u64p(rcp),
+        _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
     out_states = [[_from_mont_limbs(st[(c * t + i) * 4:(c * t + i) * 4 + 4])
                    for i in range(t)] for c in range(C)]
     return out_states, [int(p) for p in pos]
@@ -170,13 +226,14 @@ def hash_ds_dynamic_rows(rows, params: PoseidonParams) -> list:
     field lists (DS preamble already prepended); returns digests."""
     lib = _get_lib()
     assert lib is not None
-    mds, rcf, rcp = _pack_params(params)
+    mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
     B = len(rows)
     nfields = len(rows[0])
     buf = np.array([l for row in rows for v in row
                     for l in _mont_limbs(v)], dtype=np.uint64)
     out = np.zeros(B * 4, dtype=np.uint64)
-    lib.poseidon_hash_ds_dynamic_batch(
+    lib.poseidon_hash_ds_dynamic_batch_opt(
         _u64p(buf), B, nfields, params.t, params.rf, params.rp,
-        _u64p(mds), _u64p(rcf), _u64p(rcp), _u64p(_MONT_ONE), _u64p(out))
+        _u64p(mds), _u64p(rcf), _u64p(rcp), _u64p(_MONT_ONE), _u64p(out),
+        _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
     return [_from_mont_limbs(out[4 * i:4 * i + 4]) for i in range(B)]

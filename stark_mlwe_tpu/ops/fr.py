@@ -247,9 +247,124 @@ def neg(a):
     return sub(jnp.zeros_like(a), a)
 
 
+# ---------------------------------------------------------------------------
+# Graph-compact (lax.scan) variants.
+#
+# The fully unrolled limb graphs above are what XLA:TPU fuses best, but on
+# CPU (the virtual-mesh test/dryrun platform) they blow up compile time:
+# every mont_mul instantiation is ~2.5k HLO ops and the sharded prove step
+# reaches ~200k ops (tens of minutes of XLA:CPU compile per topology).
+# The scan forms below express the same arithmetic as 16/17-step loops
+# with ~30-op bodies - bit-identical results, ~20x smaller graphs.
+# Dispatch is per-backend at trace time.
+# ---------------------------------------------------------------------------
+
+P_ROW = jnp.array(P_LIMBS_PY, dtype=U32)
+
+
+def _compact() -> bool:
+    import os
+    mode = os.environ.get("STARK_MLWE_COMPACT_GRAPH", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return False
+
+
+def _pad_last(x, total: int, lead: int = 0):
+    """Place x's last-axis entries at offset `lead` in a `total`-wide axis."""
+    z = lambda k: jnp.zeros(x.shape[:-1] + (k,), dtype=x.dtype)
+    parts = ([z(lead)] if lead else []) + [x]
+    tail = total - lead - x.shape[-1]
+    if tail:
+        parts.append(z(tail))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _mont_mul_compact(a, b):
+    """CIOS Montgomery multiply as a 16-step lax.scan (radix 2^16).
+
+    Relaxed [..., 18] accumulator; per step: add a_i*b and m*P at offsets
+    0/1, resolve the low limb, shift down.  Entry bound: <= 16 steps x
+    ~2^18 < 2^23; products a_i*b < 2^32 exact in uint32.
+    """
+    a, b = jnp.broadcast_arrays(a, b)
+    nT = N + 2
+    a_limbs = jnp.moveaxis(a, -1, 0)                    # [16, ...]
+
+    def step(T, ai):
+        prod = ai[..., None] * b                        # [..., 16]
+        T = (T + _pad_last(prod & MASK, nT)
+             + _pad_last(prod >> BITS, nT, 1))
+        m = (T[..., 0] * jnp.uint32(N0INV)) & MASK
+        mp = m[..., None] * P_ROW
+        T = (T + _pad_last(mp & MASK, nT)
+             + _pad_last(mp >> BITS, nT, 1))
+        carry = T[..., 0] >> BITS
+        T = jnp.concatenate(
+            [(T[..., 1] + carry)[..., None], T[..., 2:],
+             jnp.zeros_like(T[..., :1])], axis=-1)
+        return T, None
+
+    T0 = jnp.zeros(a.shape[:-1] + (nT,), dtype=U32)
+    T, _ = jax.lax.scan(step, T0, a_limbs)
+    out, _ = _norm([T[..., k] for k in range(N + 1)])
+    return _stacked(_cond_sub_p_cols(out[:N]))
+
+
+def _redc_scan(T, nred: int):
+    """Extended REDC (divide by 2^(16*nred)) as a lax.scan.
+
+    T: [..., nT] relaxed accumulator (entries < 2^26); returns canonical
+    [..., 16].  Same per-step algebra as _redc_cols.
+    """
+    nT = T.shape[-1]
+
+    def step(T, _):
+        m = (T[..., 0] * jnp.uint32(N0INV)) & MASK
+        mp = m[..., None] * P_ROW
+        T = (T + _pad_last(mp & MASK, nT)
+             + _pad_last(mp >> BITS, nT, 1))
+        carry = T[..., 0] >> BITS
+        T = jnp.concatenate(
+            [(T[..., 1] + carry)[..., None], T[..., 2:],
+             jnp.zeros_like(T[..., :1])], axis=-1)
+        return T, None
+
+    T, _ = jax.lax.scan(step, T, None, length=nred)
+    out, _ = _norm([T[..., k] for k in range(N + 1)])
+    return _stacked(_cond_sub_p_cols(out[:N]))
+
+
+def _mat_apply_compact(A, s):
+    """mat_apply as a Horner scan over the 16 constant limb planes plus a
+    17-step REDC scan.  A: [to, ti, 16] pre-scaled (mat_scale); bound:
+    row sums <= ti*2^16 < 2^24, Horner accumulation < 2^26."""
+    nT = NRED_MAT + N + 1
+    As = jnp.moveaxis(A, 2, 0)[::-1]                    # [16, to, ti] desc
+
+    def phase(T, Al):
+        prod = Al[:, :, None] * s[..., None, :, :]      # [..., to, ti, 16]
+        lo = (prod & MASK).sum(axis=-2, dtype=U32)      # [..., to, 16]
+        hi = (prod >> BITS).sum(axis=-2, dtype=U32)
+        upd = _pad_last(lo, nT) + _pad_last(hi, nT, 1)
+        T = jnp.concatenate(
+            [jnp.zeros_like(T[..., :1]), T[..., :-1]], axis=-1)
+        return T + upd, None
+
+    to = A.shape[0]
+    T0 = jnp.zeros(s.shape[:-2] + (to, nT), dtype=U32)
+    T, _ = jax.lax.scan(phase, T0, As)
+    return _redc_scan(T, NRED_MAT)
+
+
 @jax.jit
 def mont_mul(a, b):
     """Montgomery product  a * b * 2^-256 mod P  (canonical limbs out)."""
+    if _compact():
+        return _mont_mul_compact(a, b)
     a, b = jnp.broadcast_arrays(a, b)
     T = _mul_cols(_cols(a), b)
     return _stacked(_redc_cols(T, N))
@@ -294,6 +409,8 @@ def mat_apply(A, s):
     once with an extended 17-step REDC - one reduction per output element
     instead of ti.
     """
+    if _compact():
+        return _mat_apply_compact(A, s)
     nT = NRED_MAT + N + 1
     T = [None] * nT
     for l in range(N):
@@ -344,9 +461,26 @@ def inv(x):
 def batch_inv(x):
     """Elementwise inverse of x: [n, 16] (all nonzero), Montgomery form.
 
-    Montgomery's trick with log-depth prefix products:
-      out[i] = (prod_{j<i} x_j) * (prod_{j>i} x_j) * inv(prod_all).
+    Montgomery's trick: out[i] = prefix_ex[i] * suffix_ex[i] * inv(total).
+    On TPU the prefix/suffix products are log-depth associative scans; on
+    CPU (virtual-mesh tests) sequential lax.scans keep the graph ~200x
+    smaller (the associative form instantiates the 2.5k-op mont_mul ~40x).
     """
+    if _compact():
+        def fwd(c, xi):
+            nc = mont_mul(c, xi)
+            return nc, c                       # exclusive prefix
+
+        total, pp_ex = jax.lax.scan(fwd, MONT_ONE, x)
+        total_inv = inv(total)
+
+        def bwd(c, args):
+            xi, pi = args
+            out = mont_mul(c, pi)
+            return mont_mul(c, xi), out
+
+        _, out_rev = jax.lax.scan(bwd, total_inv, (x[::-1], pp_ex[::-1]))
+        return out_rev[::-1]
     pp = jax.lax.associative_scan(mont_mul, x, axis=0)
     sp = jax.lax.associative_scan(mont_mul, x, axis=0, reverse=True)
     total_inv = inv(pp[-1])
@@ -359,6 +493,12 @@ def batch_inv(x):
 @partial(jax.jit, static_argnums=1)
 def powers(base, n: int):
     """[1, base, ..., base^(n-1)] in Montgomery form; base: [16] Montgomery."""
+    if _compact():
+        def step(c, _):
+            return mont_mul(c, base), c
+
+        _, out = jax.lax.scan(step, MONT_ONE, None, length=n)
+        return out
     arr = jnp.concatenate(
         [MONT_ONE[None, :], jnp.broadcast_to(base, (n - 1, N))], axis=0)
     return jax.lax.associative_scan(mont_mul, arr, axis=0)

@@ -32,7 +32,7 @@ class DeviceParams:
     """Poseidon parameters packed for device kernels."""
 
     __slots__ = ("t", "rate", "rf", "rp", "mds_scaled", "rc_full", "rc_part",
-                 "spec_params")
+                 "rc_sched", "full_sched", "spec_params")
 
     def __init__(self, params: PoseidonParams):
         self.spec_params = params
@@ -47,6 +47,20 @@ class DeviceParams:
             [c for row in params.rc_full for c in row],
             mont=True).reshape(params.rf, params.t, fr.N)
         self.rc_part = fr.pack_ints(params.rc_partial, mont=True)
+        # Unified round schedule for the single-body XLA scan: rc row per
+        # round ([R, t, 16]; partial rounds put their constant in lane 0
+        # and zeros elsewhere, matching the lane-0-only ARK) + full flags.
+        half = params.rf // 2
+        t, R = params.t, params.rf + params.rp
+        rc_sched = np.zeros((R, t, fr.N), dtype=np.uint32)
+        rc_sched[:half] = self.rc_full[:half]
+        rc_sched[half:half + params.rp, 0, :] = self.rc_part
+        rc_sched[half + params.rp:] = self.rc_full[half:]
+        self.rc_sched = rc_sched
+        full = np.zeros((R,), dtype=bool)
+        full[:half] = True
+        full[half + params.rp:] = True
+        self.full_sched = full
 
 
 _CACHE: dict = {}
@@ -83,22 +97,24 @@ def permute(state, dp: DeviceParams):
     if state.ndim == 3 and _pallas_enabled():
         from . import poseidon_pallas
         return poseidon_pallas.permute(state, dp)
-    half = dp.rf // 2
 
-    def full_round(s, rc):
+    # ONE scan body for all RF+RP rounds (the full/partial distinction is
+    # a per-round select): a third of the traced-graph size of separate
+    # full/partial scans - XLA-CPU compile time for the sharded-step
+    # graphs is dominated by the op count of these bodies.
+    def round_body(s, xs):
+        rc, full = xs
         x = fr.add(s, rc)
-        x = fr.pow5(x)
-        return fr.mat_apply(dp.mds_scaled, x), None
+        x5 = fr.pow5(x)
+        sel = jnp.where(
+            full,
+            x5,
+            jnp.concatenate([x5[..., :1, :], x[..., 1:, :]], axis=-2))
+        return fr.mat_apply(dp.mds_scaled, sel), None
 
-    def partial_round(s, rc):
-        x0 = fr.add(s[..., 0, :], rc)
-        x0 = fr.pow5(x0)
-        s = jnp.concatenate([x0[..., None, :], s[..., 1:, :]], axis=-2)
-        return fr.mat_apply(dp.mds_scaled, s), None
-
-    state, _ = jax.lax.scan(full_round, state, dp.rc_full[:half])
-    state, _ = jax.lax.scan(partial_round, state, dp.rc_part)
-    state, _ = jax.lax.scan(full_round, state, dp.rc_full[half:])
+    state, _ = jax.lax.scan(
+        round_body, state, (jnp.asarray(dp.rc_sched),
+                            jnp.asarray(dp.full_sched)))
     return state
 
 
@@ -150,9 +166,13 @@ def sponge_hash_ds_dynamic(ds_fields, inputs, dp: DeviceParams):
         one, zeros], axis=-2)
 
     state = jnp.zeros(batch + (t, fr.N), dtype=fr.U32)
-    for b in range(nblocks):
-        state = _set_lanes(state, 0, seq[..., b * rate:(b + 1) * rate, :])
+    if nblocks == 1:
+        state = _set_lanes(state, 0, seq)
         state = permute(state, dp)
+    else:
+        blocks = jnp.moveaxis(
+            seq.reshape(batch + (nblocks, rate, fr.N)), -3, 0)
+        state = absorb_blocks(state, blocks, dp)
     return state[..., 0, :]
 
 
@@ -169,8 +189,16 @@ def sponge_hash_ds_legacy(inputs, ds_tag_mont, dp: DeviceParams):
     state = jnp.zeros(batch + (t, fr.N), dtype=fr.U32)
     cap = jnp.broadcast_to(ds_tag_mont, batch + (1, fr.N))
     state = jnp.concatenate([state[..., :t - 1, :], cap], axis=-2)
-    for off in range(0, k, rate):
-        chunk = inputs[..., off:min(off + rate, k), :]
-        state = _set_lanes(state, 0, chunk)
+    nb_full, rem = k // rate, k % rate
+    if nb_full == 1:
+        state = _set_lanes(state, 0, inputs[..., :rate, :])
+        state = permute(state, dp)
+    elif nb_full:
+        blocks = jnp.moveaxis(
+            inputs[..., :nb_full * rate, :].reshape(
+                batch + (nb_full, rate, fr.N)), -3, 0)
+        state = absorb_blocks(state, blocks, dp)
+    if rem:
+        state = _set_lanes(state, 0, inputs[..., nb_full * rate:, :])
         state = permute(state, dp)
     return state[..., 0, :]

@@ -140,6 +140,30 @@ def _pow5_bl(x):
     return _mul_bl(x4, x)
 
 
+def _redc_frame(T, nred):
+    """Roll-based extended REDC on a relaxed accumulator frame
+    T [..., nT, TB] (each row < 2^26): divides by 2^(16*nred) mod P and
+    returns canonical [..., 16, TB].  Same per-step structure as
+    _mul_bl's REDC (one whole-row multiply by p_row + two rolls per
+    step) -- far fewer issue slots than the per-limb column REDC."""
+    nT = T.shape[-2]
+    p_row = _p_row()
+    carry = jnp.zeros_like(T[..., 0:1, :])
+    for i in range(nred):
+        vi = T[..., i:i + 1, :] + carry
+        ti = vi & MASK
+        m = (ti * jnp.uint32(fr.N0INV)) & MASK
+        prod = m * p_row                        # [..., 16, TB]
+        lo = prod & MASK
+        hi = prod >> BITS
+        T = T + _shift_rows(lo, nT, i) + _shift_rows(hi, nT, i + 1)
+        carry = (vi >> BITS) + ((ti + lo[..., 0:1, :]) >> BITS)
+    cols = [T[..., nred + k:nred + k + 1, :] for k in range(N + 1)]
+    cols[0] = cols[0] + carry
+    out, _ = fr._norm(cols)
+    return _cat_bl(fr._cond_sub_p_cols(out[:N]))
+
+
 # ---------------------------------------------------------------------------
 # MXU MDS: the t x t constant-matrix multiply over 16-limb field elements
 # is ONE linear map from the 544 input byte-digits to the 1088 output
@@ -197,19 +221,63 @@ def _mat_bl_mxu(wlo_ref, whi_ref, s):
           + (dot(whi, s_hi) << 8))
     t8 = t8.reshape(t, 64, tb)
 
-    # radix 2^8 -> 2^16 with one carry fold; feed the extended REDC
+    # radix 2^8 -> 2^16 with one carry fold; feed the roll-based REDC.
+    # [t, 64, tb] -> even/odd byte rows via a reshape (64 = 32 pairs).
     nT = fr.NRED_MAT + N + 1
-    T = [None] * nT
-    for k in range(32):
-        ev = t8[:, 2 * k:2 * k + 1, :]
-        od = t8[:, 2 * k + 1:2 * k + 2, :]
-        val = (ev + ((od & 0xFF) << 8)).astype(U32)
-        carry = (od >> 8).astype(U32)
-        T[k] = val if T[k] is None else T[k] + val
-        T[k + 1] = carry if T[k + 1] is None else T[k + 1] + carry
-    z = jnp.zeros_like(T[0])
-    T = [z if v is None else v for v in T]
-    return _cat_bl(fr._redc_cols(T, fr.NRED_MAT))
+    pairs = t8.reshape(t, 32, 2, tb)
+    ev = pairs[:, :, 0, :]
+    od = pairs[:, :, 1, :]
+    val = (ev + ((od & 0xFF) << 8)).astype(U32)       # [t, 32, tb]
+    car = (od >> 8).astype(U32)
+    T = _shift_rows(val, nT, 0) + _shift_rows(car, nT, 1)
+    return _redc_frame(T, fr.NRED_MAT)
+
+
+# ---------------------------------------------------------------------------
+# Sparse partial rounds (spec.poseidon_opt factorization): each of the
+# first rp-1 partial rounds applies the sparse matrix
+#   Q_r = [[q00, w^T], [Mhat^-1 v, I]]
+# (a t-term row dot for lane 0 + a 2-term column update for lanes 1..t-1)
+# instead of the dense t x t MDS; one dense M_final lands after the last
+# partial S-box.  ~3t multiplies per round instead of t^2, bit-exact.
+# ---------------------------------------------------------------------------
+
+def _row_dot_bl(qrow, s):
+    """Lane-0 row dot: qrow [16, t, 1, 1] (limb-major 2^272-scaled constant
+    limbs; trailing unit dims keep Mosaic's replicated layout so the
+    broadcast against the tiled state is legal), s [t, 16, TB] ->
+    [1, 16, TB] = REDC(sum_j qrow[j] * s[j])."""
+    nT = fr.NRED_MAT + N + 1
+    T = None
+    for l in range(N):
+        prod = qrow[l] * s                        # [t,1,1]*[t,16,TB]
+        # sums over j: <= t terms of < 2^16 -> < 2^21, int32-safe
+        lo = (prod & MASK).astype(jnp.int32).sum(
+            axis=0, keepdims=True).astype(U32)
+        hi = (prod >> BITS).astype(jnp.int32).sum(
+            axis=0, keepdims=True).astype(U32)
+        upd = _shift_rows(lo, nT, l) + _shift_rows(hi, nT, l + 1)
+        T = upd if T is None else T + upd
+    return _redc_frame(T, fr.NRED_MAT)
+
+
+def _col_update_bl(qcol, idrow, s_rest, x0):
+    """Column update: out_i = s_i + qcol[i] * x0 for lanes 1..t-1.
+
+    qcol [16, t-1, 1, 1] and idrow [16, 1, 1, 1] are limb-major
+    2^272-scaled constant limbs (idrow = limbs of 2^272 mod P so the
+    identity term rides the same extended REDC);
+    s_rest [t-1, 16, TB], x0 [1, 16, TB]."""
+    nT = fr.NRED_MAT + N + 1
+    T = None
+    for l in range(N):
+        pq = qcol[l] * x0                         # [t-1,1,1]*[1,16,TB]
+        pi = idrow[l] * s_rest                    # [1,1,1]*[t-1,16,TB]
+        lo = (pq & MASK) + (pi & MASK)            # < 2^17
+        hi = (pq >> BITS) + (pi >> BITS)
+        upd = _shift_rows(lo, nT, l) + _shift_rows(hi, nT, l + 1)
+        T = upd if T is None else T + upd
+    return _redc_frame(T, fr.NRED_MAT)
 
 
 _J_CHUNK = 1  # bound the 4-D MDS temporaries to fit scoped VMEM
@@ -247,12 +315,16 @@ def _mat_bl(A, s):
     return _cat_bl(fr._redc_cols(T, fr.NRED_MAT))
 
 
-def _permute_body(s, wlo_ref, whi_ref, rcf_ref, rcp_ref, rf, rp):
+def _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref, rcp_ref,
+                  qrow_ref, qcol_ref, idrow_ref, rf, rp):
     """The full permutation on a state value s [t, 16, TB].
 
     Round-constant arrays stay Refs (dynamic VMEM loads inside the
-    fori_loops).  rcf_ref: [rf, t, 16, 1]; rcp_ref: [rp, 1, 16, 1].
-    The MDS runs on the MXU (nibble int8 matmul planes wlo/whi).
+    fori_loops).  rcf_ref: [rf, t, 16, 1]; rcp_ref: [rp, 1, 16, 1];
+    qrow_ref: [rp-1, t, 16, 1]; qcol_ref: [rp-1, t-1, 16, 1].
+    Full-round MDS and the one dense M_final run on the MXU (nibble int8
+    matmul planes); partial rounds apply the sparse Q_r factors on the
+    VPU (spec.poseidon_opt) -- bit-exact, ~3t muls per round vs t^2.
     """
     half = rf // 2
 
@@ -262,15 +334,22 @@ def _permute_body(s, wlo_ref, whi_ref, rcf_ref, rcp_ref, rf, rp):
         x = _pow5_bl(x)
         return _mat_bl_mxu(wlo_ref, whi_ref, x)
 
-    def partial_round(r, s):
+    def partial_sparse(r, s):
         rc = rcp_ref[pl.ds(r, 1)][0]              # [1, 16, 1]
-        x0 = _add_bl(s[0:1], rc)
-        x0 = _pow5_bl(x0)
-        s = jnp.concatenate([x0, s[1:]], axis=0)
-        return _mat_bl_mxu(wlo_ref, whi_ref, s)
+        x0 = _pow5_bl(_add_bl(s[0:1], rc))
+        qrow = qrow_ref[pl.ds(r, 1)][0]           # [16, t, 1, 1]
+        qcol = qcol_ref[pl.ds(r, 1)][0]           # [16, t-1, 1, 1]
+        s_rest = s[1:]
+        new0 = _row_dot_bl(qrow, jnp.concatenate([x0, s_rest], axis=0))
+        rest = _col_update_bl(qcol, idrow_ref[:], s_rest, x0)
+        return jnp.concatenate([new0, rest], axis=0)
 
     s = jax.lax.fori_loop(0, half, full_round, s)
-    s = jax.lax.fori_loop(0, rp, partial_round, s)
+    s = jax.lax.fori_loop(0, rp - 1, partial_sparse, s)
+    rc = rcp_ref[pl.ds(rp - 1, 1)][0]
+    x0 = _pow5_bl(_add_bl(s[0:1], rc))
+    s = jnp.concatenate([x0, s[1:]], axis=0)
+    s = _mat_bl_mxu(mflo_ref, mfhi_ref, s)
     s = jax.lax.fori_loop(half, rf, full_round, s)
     return s
 
@@ -281,25 +360,67 @@ _mxu_cache: dict = {}
 def _const_args(dp):
     key = id(dp)
     if key not in _mxu_cache:
+        from ..spec.field import P as _P
+        from ..spec.poseidon_opt import partial_round_factorization
+
+        fac = partial_round_factorization(dp.spec_params)
+        t, rp = dp.t, dp.rp
         wlo, whi = mxu_mds_planes(dp.spec_params.mds, dp.t)
+        mflo, mfhi = mxu_mds_planes(fac.m_final, dp.t)
+
+        def scaled_limbs(vals):
+            a = np.zeros((len(vals), N), np.uint32)
+            for i, v in enumerate(vals):
+                x = v * fr.MAT_SCALE % _P
+                for k in range(N):
+                    a[i, k] = (x >> (BITS * k)) & MASK
+            return a
+
+        # limb-major [rp-1, 16, t(,t-1), 1, 1]: only leading dims are ever
+        # sliced in-kernel, keeping the trailing unit dims' replicated
+        # layout (Mosaic cannot broadcast a sublane-sliced vector).
+        qrow = np.stack([scaled_limbs(r).T for r in fac.q_rows])
+        qcol = np.stack([scaled_limbs(c).T for c in fac.q_cols])
+        idrow = scaled_limbs([1]).T
         _mxu_cache[key] = (
-            wlo, whi,
+            wlo, whi, mflo, mfhi,
             np.asarray(dp.rc_full)[..., None],
-            np.asarray(dp.rc_part)[:, None, :, None])
-    wlo, whi, rcf, rcp = _mxu_cache[key]
-    return (jnp.asarray(wlo), jnp.asarray(whi), jnp.asarray(rcf),
-            jnp.asarray(rcp))
+            np.asarray(dp.rc_part)[:, None, :, None],
+            qrow[..., None, None], qcol[..., None, None],
+            idrow[..., None, None])
+    return tuple(jnp.asarray(a) for a in _mxu_cache[key])
 
 
 # ---------------------------------------------------------------------------
 # Batched permutation kernel.
 # ---------------------------------------------------------------------------
 
-def _permute_kernel(rf, rp, wlo_ref, whi_ref, rcf_ref, rcp_ref, prow_ref,
+def _const_specs(t, rf, rp):
+    """BlockSpecs for the 9 constant arrays from _const_args."""
+    full = pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    return [
+        full, full, full, full,
+        pl.BlockSpec((rf, t, N, 1), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp, 1, N, 1), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp - 1, N, t, 1, 1), lambda i: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rp - 1, N, t - 1, 1, 1), lambda i: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, 1, 1, 1), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _permute_kernel(rf, rp, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref,
+                    rcp_ref, qrow_ref, qcol_ref, idrow_ref, prow_ref,
                     x_ref, o_ref):
     with _prow_scope(prow_ref):
-        o_ref[:] = _permute_body(x_ref[:], wlo_ref, whi_ref, rcf_ref,
-                                 rcp_ref, rf, rp)
+        o_ref[:] = _permute_body(x_ref[:], wlo_ref, whi_ref, mflo_ref,
+                                 mfhi_ref, rcf_ref, rcp_ref, qrow_ref,
+                                 qcol_ref, idrow_ref, rf, rp)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -311,15 +432,7 @@ def _permute_tiles(x, dp, interpret):
     out = pl.pallas_call(
         partial(_permute_kernel, rf, rp),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rf, t, N, 1), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, 1, N, 1), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=_const_specs(t, rf, rp) + [
             pl.BlockSpec((1, N, 1), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, N, TB), lambda i: (0, 0, i),
@@ -356,7 +469,8 @@ def permute(states, dp, interpret: bool = False):
 # carried in the (constant-indexed) output block across grid steps.
 # ---------------------------------------------------------------------------
 
-def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, rcf_ref, rcp_ref,
+def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, mflo_ref, mfhi_ref,
+                   rcf_ref, rcp_ref, qrow_ref, qcol_ref, idrow_ref,
                    prow_ref, init_ref, blocks_ref, state_ref):
     step = pl.program_id(0)
 
@@ -369,8 +483,9 @@ def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, rcf_ref, rcp_ref,
         blk = blocks_ref[0]               # [rate, 16, C]
         absorbed = _add_bl(s[:rate], blk)
         s = jnp.concatenate([absorbed, s[rate:]], axis=0)
-        state_ref[:] = _permute_body(s, wlo_ref, whi_ref, rcf_ref, rcp_ref,
-                                     rf, rp)
+        state_ref[:] = _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref,
+                                     rcf_ref, rcp_ref, qrow_ref, qcol_ref,
+                                     idrow_ref, rf, rp)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -387,15 +502,7 @@ def absorb_chain(init_state, blocks, dp, interpret: bool = False):
     out = pl.pallas_call(
         partial(_absorb_kernel, rf, rp, rate),
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rf, t, N, 1), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, 1, N, 1), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=_const_specs(t, rf, rp) + [
             pl.BlockSpec((1, N, 1), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, N, C), lambda i: (0, 0, 0),

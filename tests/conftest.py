@@ -16,15 +16,19 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persistent compilation cache: the limb-arithmetic graphs are sizeable and
-# identical across test runs.
 import jax  # noqa: E402
 
 if _platform == "cpu":
     # The axon sitecustomize re-forces JAX_PLATFORMS=axon; the config
     # update below is authoritative.
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/root/.cache/stark_mlwe_jax"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+else:
+    # Persistent compilation cache, TPU only: XLA:CPU AOT cache entries
+    # on this fleet reload with machine-feature mismatches ("could lead
+    # to SIGILL") and have produced hard aborts; the CPU-path graphs are
+    # kept scan-compact instead (ops/fr.py _compact) so cold compiles
+    # are cheap.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/stark_mlwe_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

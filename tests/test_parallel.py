@@ -1,9 +1,26 @@
-"""Sharded prove step on the virtual 8-device mesh == single-chip results."""
+"""Sharded prove step on the virtual 8-device mesh == single-chip results.
 
+Compile-cost note: every (topology, shape) pair is a separate multi-hour
+XLA-CPU compile of the sharded step on a cold cache, so the default run
+tests ONE topology (8 devices) with the SAME shapes as
+`__graft_entry__.dryrun_multichip` (n = 64*n_dev, m = arity = 4) - the
+two share a persistent-cache entry.  Set STARK_TESTS_HEAVY=1 to add the
+other topologies.
+"""
+
+import os
 import random
 
 import numpy as np
 import pytest
+
+HEAVY = os.environ.get("STARK_TESTS_HEAVY", "0") not in ("", "0")
+
+
+def heavy_param(p):
+    return pytest.param(
+        p, marks=[] if HEAVY else pytest.mark.skip(
+            reason="extra mesh topology (STARK_TESTS_HEAVY=1)"))
 
 import jax
 import jax.numpy as jnp
@@ -26,11 +43,11 @@ def dev(xs):
     return jnp.asarray(fr.pack_ints(xs, mont=True))
 
 
-@pytest.mark.parametrize("n_dev", [1, 2, 8])
+@pytest.mark.parametrize("n_dev", [heavy_param(1), heavy_param(2), 8])
 def test_sharded_step_matches_single_chip(n_dev):
     if len(jax.devices()) < n_dev:
         pytest.skip("not enough devices")
-    n, m, arity = 1024, 16, 16
+    n, m, arity = 64 * n_dev, 4, 4
     mesh = par.make_mesh(n_dev)
     step, ds_locals, _ = par.build_sharded_prove_step(mesh, n, m, arity)
 
@@ -73,7 +90,7 @@ def test_sharded_step_matches_single_chip(n_dev):
     assert phi_z_int == lagrange_eval_on_h(phi_spec, z, omega)
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("n_dev", [heavy_param(2), 8])
 def test_ntt_sharded_matches_single_chip(n_dev):
     if len(jax.devices()) < n_dev:
         pytest.skip("not enough devices")
