@@ -96,7 +96,8 @@ def permute(state, dp: DeviceParams):
     """
     if state.ndim == 3 and _pallas_enabled():
         from . import poseidon_pallas
-        return poseidon_pallas.permute(state, dp)
+        if poseidon_pallas.pallas_supported(dp.t):
+            return poseidon_pallas.permute(state, dp)
 
     # ONE scan body for all RF+RP rounds (the full/partial distinction is
     # a per-round select): a third of the traced-graph size of separate

@@ -42,6 +42,14 @@ from .fr import BITS, MASK, N, U32
 TB = 128  # lane-dim batch tile
 
 
+def pallas_supported(t: int) -> bool:
+    """t=129 is routed to the XLA path: its dense body register-spills
+    ~78 MB on top of the 68 MB MXU planes (spills are lane-padded, so a
+    narrower tile does not help), and its sponge batches are tiny
+    (arity-128 tree interiors only; leaves hash at t=17)."""
+    return t < 129
+
+
 # ---------------------------------------------------------------------------
 # In-kernel field helpers, batch-last layout [..., 16, TB].
 # Limb "columns" are keepdims slices [..., 1, TB]; the shape-agnostic
@@ -321,10 +329,13 @@ def _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref, rcp_ref,
 
     Round-constant arrays stay Refs (dynamic VMEM loads inside the
     fori_loops).  rcf_ref: [rf, t, 16, 1]; rcp_ref: [rp, 1, 16, 1];
-    qrow_ref: [rp-1, t, 16, 1]; qcol_ref: [rp-1, t-1, 16, 1].
-    Full-round MDS and the one dense M_final run on the MXU (nibble int8
-    matmul planes); partial rounds apply the sparse Q_r factors on the
-    VPU (spec.poseidon_opt) -- bit-exact, ~3t muls per round vs t^2.
+    qrow_ref: [rp-1, 16, t, 1, 1]; qcol_ref: [rp-1, 16, t-1, 1, 1].
+    Full-round MDS runs on the MXU (nibble int8 matmul planes); partial
+    rounds apply the sparse Q_r factors on the VPU (spec.poseidon_opt)
+    -- bit-exact, ~3t muls per round vs t^2.  The one dense M_final
+    after the last partial S-box uses its own MXU planes (small at the
+    sparse widths t <= 33; t=129, where a second plane set would blow
+    VMEM, is routed off Pallas entirely -- see pallas_supported).
     """
     half = rf // 2
 
@@ -354,6 +365,36 @@ def _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref, rcp_ref,
     return s
 
 
+def _use_sparse(t: int) -> bool:
+    """Sparse partial-round factors for the small widths only: the
+    [..., 1, 1]-layout constants lane-pad 128x in VMEM, so at t >= 65
+    (alt-schedule arities 64/128) qrow+qcol+afinal would exceed the
+    128 MB VMEM budget; those widths use the dense-MXU body."""
+    return t <= 33
+
+
+def _permute_body_dense(s, wlo_ref, whi_ref, rcf_ref, rcp_ref, rf, rp):
+    """Dense-MDS permutation body (every round on the MXU planes)."""
+    half = rf // 2
+
+    def full_round(r, s):
+        rc = rcf_ref[pl.ds(r, 1)][0]
+        x = _add_bl(s, rc)
+        x = _pow5_bl(x)
+        return _mat_bl_mxu(wlo_ref, whi_ref, x)
+
+    def partial_round(r, s):
+        rc = rcp_ref[pl.ds(r, 1)][0]
+        x0 = _pow5_bl(_add_bl(s[0:1], rc))
+        s = jnp.concatenate([x0, s[1:]], axis=0)
+        return _mat_bl_mxu(wlo_ref, whi_ref, s)
+
+    s = jax.lax.fori_loop(0, half, full_round, s)
+    s = jax.lax.fori_loop(0, rp, partial_round, s)
+    s = jax.lax.fori_loop(half, rf, full_round, s)
+    return s
+
+
 _mxu_cache: dict = {}
 
 
@@ -361,33 +402,37 @@ def _const_args(dp):
     key = id(dp)
     if key not in _mxu_cache:
         from ..spec.field import P as _P
-        from ..spec.poseidon_opt import partial_round_factorization
 
-        fac = partial_round_factorization(dp.spec_params)
         t, rp = dp.t, dp.rp
         wlo, whi = mxu_mds_planes(dp.spec_params.mds, dp.t)
-        mflo, mfhi = mxu_mds_planes(fac.m_final, dp.t)
+        rcf = np.asarray(dp.rc_full)[..., None]
+        rcp = np.asarray(dp.rc_part)[:, None, :, None]
+        if not _use_sparse(t):
+            _mxu_cache[key] = (wlo, whi, rcf, rcp)
+        else:
+            from ..spec.poseidon_opt import partial_round_factorization
+            fac = partial_round_factorization(dp.spec_params)
 
-        def scaled_limbs(vals):
-            a = np.zeros((len(vals), N), np.uint32)
-            for i, v in enumerate(vals):
-                x = v * fr.MAT_SCALE % _P
-                for k in range(N):
-                    a[i, k] = (x >> (BITS * k)) & MASK
-            return a
+            def scaled_limbs(vals):
+                a = np.zeros((len(vals), N), np.uint32)
+                for i, v in enumerate(vals):
+                    x = v * fr.MAT_SCALE % _P
+                    for k in range(N):
+                        a[i, k] = (x >> (BITS * k)) & MASK
+                return a
 
-        # limb-major [rp-1, 16, t(,t-1), 1, 1]: only leading dims are ever
-        # sliced in-kernel, keeping the trailing unit dims' replicated
-        # layout (Mosaic cannot broadcast a sublane-sliced vector).
-        qrow = np.stack([scaled_limbs(r).T for r in fac.q_rows])
-        qcol = np.stack([scaled_limbs(c).T for c in fac.q_cols])
-        idrow = scaled_limbs([1]).T
-        _mxu_cache[key] = (
-            wlo, whi, mflo, mfhi,
-            np.asarray(dp.rc_full)[..., None],
-            np.asarray(dp.rc_part)[:, None, :, None],
-            qrow[..., None, None], qcol[..., None, None],
-            idrow[..., None, None])
+            # limb-major [rp-1, 16, t(,t-1), 1, 1]: only leading dims are
+            # ever sliced in-kernel, keeping the trailing unit dims'
+            # replicated layout (Mosaic cannot broadcast a sublane-sliced
+            # vector).
+            qrow = np.stack([scaled_limbs(r).T for r in fac.q_rows])
+            qcol = np.stack([scaled_limbs(c).T for c in fac.q_cols])
+            idrow = scaled_limbs([1]).T
+            mflo, mfhi = mxu_mds_planes(fac.m_final, t)
+            _mxu_cache[key] = (
+                wlo, whi, mflo, mfhi, rcf, rcp,
+                qrow[..., None, None], qcol[..., None, None],
+                idrow[..., None, None])
     return tuple(jnp.asarray(a) for a in _mxu_cache[key])
 
 
@@ -396,15 +441,20 @@ def _const_args(dp):
 # ---------------------------------------------------------------------------
 
 def _const_specs(t, rf, rp):
-    """BlockSpecs for the 9 constant arrays from _const_args."""
+    """BlockSpecs for the constant arrays from _const_args."""
     full = pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
-    return [
-        full, full, full, full,
+    rc_specs = [
         pl.BlockSpec((rf, t, N, 1), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rp, 1, N, 1), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
+    ]
+    if not _use_sparse(t):
+        return [full, full] + rc_specs
+    return [
+        full, full, full, full,
+    ] + rc_specs + [
         pl.BlockSpec((rp - 1, N, t, 1, 1), lambda i: (0, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rp - 1, N, t - 1, 1, 1), lambda i: (0, 0, 0, 0, 0),
@@ -423,14 +473,23 @@ def _permute_kernel(rf, rp, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref,
                                  qcol_ref, idrow_ref, rf, rp)
 
 
+def _permute_kernel_dense(rf, rp, wlo_ref, whi_ref, rcf_ref, rcp_ref,
+                          prow_ref, x_ref, o_ref):
+    with _prow_scope(prow_ref):
+        o_ref[:] = _permute_body_dense(x_ref[:], wlo_ref, whi_ref,
+                                       rcf_ref, rcp_ref, rf, rp)
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def _permute_tiles(x, dp, interpret):
     """x: [t, 16, B] with B a multiple of TB."""
     t, _, B = x.shape
     rf, rp = dp.rf, dp.rp
     grid = (B // TB,)
+    kern = (partial(_permute_kernel, rf, rp) if _use_sparse(t)
+            else partial(_permute_kernel_dense, rf, rp))
     out = pl.pallas_call(
-        partial(_permute_kernel, rf, rp),
+        kern,
         grid=grid,
         in_specs=_const_specs(t, rf, rp) + [
             pl.BlockSpec((1, N, 1), lambda i: (0, 0, 0),
@@ -488,6 +547,23 @@ def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, mflo_ref, mfhi_ref,
                                      idrow_ref, rf, rp)
 
 
+def _absorb_kernel_dense(rf, rp, rate, wlo_ref, whi_ref, rcf_ref, rcp_ref,
+                         prow_ref, init_ref, blocks_ref, state_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        state_ref[:] = init_ref[:]
+
+    with _prow_scope(prow_ref):
+        s = state_ref[:]
+        blk = blocks_ref[0]
+        absorbed = _add_bl(s[:rate], blk)
+        s = jnp.concatenate([absorbed, s[rate:]], axis=0)
+        state_ref[:] = _permute_body_dense(s, wlo_ref, whi_ref,
+                                           rcf_ref, rcp_ref, rf, rp)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def absorb_chain(init_state, blocks, dp, interpret: bool = False):
     """init_state: [t, 16, C]; blocks: [nb, rate, 16, C] (Montgomery).
@@ -499,8 +575,10 @@ def absorb_chain(init_state, blocks, dp, interpret: bool = False):
     t, _, C = init_state.shape
     nb, rate = blocks.shape[0], blocks.shape[1]
     rf, rp = dp.rf, dp.rp
+    kern = (partial(_absorb_kernel, rf, rp, rate) if _use_sparse(t)
+            else partial(_absorb_kernel_dense, rf, rp, rate))
     out = pl.pallas_call(
-        partial(_absorb_kernel, rf, rp, rate),
+        kern,
         grid=(nb,),
         in_specs=_const_specs(t, rf, rp) + [
             pl.BlockSpec((1, N, 1), lambda i: (0, 0, 0),
