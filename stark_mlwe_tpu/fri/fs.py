@@ -26,6 +26,7 @@ from functools import lru_cache
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .. import native
@@ -214,8 +215,31 @@ def tagged_hash_vecs(tags, vecs_mont, label: bytes = b"FRI/FS",
         blocks = vecs_mont[:, off:off + nb * RATE, :].reshape(
             B, nb, RATE, fr.N)
         blocks = jnp.moveaxis(blocks, 1, 0)
-        if dpos._pallas_enabled():
-            # whole sequential chain as ONE fused kernel launch
+        if dpos._pallas_enabled() and T < 32 and B * 32 <= 128:
+            # whole sequential chain as ONE fused lane-parallel kernel
+            # launch (ops/poseidon_chain.py): limbs in sublanes, the
+            # (chain, state-element) pairs across the 128 lanes.
+            from ..ops import poseidon_chain as pch
+
+            def to_lanes(x, rows):
+                # [B, rows, 16] -> [16, 128] (lane c*32 + i)
+                pad = jnp.zeros((B, 32 - rows, fr.N), dtype=fr.U32)
+                padded = jnp.concatenate([x, pad], axis=1)
+                return jnp.moveaxis(padded, 2, 0).reshape(fr.N, B * 32)
+
+            def pad_lanes(x):
+                if x.shape[-1] == 128:
+                    return x
+                z = jnp.zeros(x.shape[:-1] + (128 - x.shape[-1],),
+                              dtype=fr.U32)
+                return jnp.concatenate([x, z], axis=-1)
+
+            st_l = pad_lanes(to_lanes(state, T))
+            blk_l = pad_lanes(jax.vmap(lambda b: to_lanes(b, RATE))(blocks))
+            st_l = pch.absorb_chain_lanes(st_l, blk_l, dp)
+            back = st_l[:, :B * 32].reshape(fr.N, B, 32)
+            state = jnp.moveaxis(back, 0, 2)[:, :T, :]
+        elif dpos._pallas_enabled():
             from ..ops import poseidon_pallas as pp
             st_bl = jnp.moveaxis(state, 0, -1)          # [t, 16, B]
             blk_bl = jnp.moveaxis(blocks, 1, -1)        # [nb, rate, 16, B]
