@@ -262,11 +262,15 @@ def neg(a):
 P_ROW = jnp.array(P_LIMBS_PY, dtype=U32)
 
 
+# Import-time only: the choice is frozen into every jit trace cache, so a
+# post-import toggle of the env var would silently have no effect.
+_COMPACT_MODE = __import__("os").environ.get("STARK_MLWE_COMPACT_GRAPH",
+                                             "auto")
+
+
 def _compact() -> bool:
-    import os
-    mode = os.environ.get("STARK_MLWE_COMPACT_GRAPH", "auto")
-    if mode in ("0", "1"):
-        return mode == "1"
+    if _COMPACT_MODE in ("0", "1"):
+        return _COMPACT_MODE == "1"
     try:
         return jax.default_backend() != "tpu"
     except Exception:

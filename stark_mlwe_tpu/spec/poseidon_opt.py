@@ -140,14 +140,22 @@ def partial_round_factorization(params: PoseidonParams) -> PartialRoundFactors:
     key = id(params)
     if key in _factor_cache:
         return _factor_cache[key]
+    assert params.rp >= 1, "factorization requires at least one partial round"
     path = os.path.join(_CACHE_DIR, _cache_key(params) + ".npz")
     if os.path.exists(path):
-        z = np.load(path)
-        fac = PartialRoundFactors(_u64_to_ints(z["qrow"]),
-                                  _u64_to_ints(z["qcol"]),
-                                  _u64_to_ints(z["mfinal"]))
-        _factor_cache[key] = fac
-        return fac
+        try:
+            z = np.load(path)
+            fac = PartialRoundFactors(_u64_to_ints(z["qrow"]),
+                                      _u64_to_ints(z["qcol"]),
+                                      _u64_to_ints(z["mfinal"]))
+            _factor_cache[key] = fac
+            return fac
+        except Exception:
+            # corrupt cache entry (e.g. crash mid-write): recompute
+            try:
+                os.remove(path)
+            except OSError:
+                pass
     res = None
     try:
         from .. import native
@@ -160,9 +168,12 @@ def partial_round_factorization(params: PoseidonParams) -> PartialRoundFactors:
     fac = PartialRoundFactors(*res)
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        np.savez(path, qrow=_ints_to_u64(fac.q_rows),
+        tmp = path + f".tmp.{os.getpid()}"
+        np.savez(tmp, qrow=_ints_to_u64(fac.q_rows),
                  qcol=_ints_to_u64(fac.q_cols),
                  mfinal=_ints_to_u64(fac.m_final))
+        # np.savez appends .npz when the target lacks it
+        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
     except Exception:
         pass
     _factor_cache[key] = fac
