@@ -36,30 +36,31 @@ def main():
 
     print(f"# platform={jax.default_backend()}", file=sys.stderr)
     paper_baseline = {}
-    lines = [CSV_HEADER]
+    out_path = os.environ.get("BENCH_CSV", "benchmarkdata.csv")
     print(CSV_HEADER)
-    for label, schedule in PRESETS:
-        if labels_filter and label not in labels_filter:
-            continue
-        for k in ks_for_schedule(schedule):
-            if ks_filter and k not in ks_filter:
+    with open(out_path, "w") as f:  # incremental: partial sweeps persist
+        f.write(CSV_HEADER + "\n")
+        f.flush()
+        for label, schedule in PRESETS:
+            if labels_filter and label not in labels_filter:
                 continue
-            res = run_mf_fri(label, k)
-            eps = (1 << k) / res["prove_s"]
-            base = paper_baseline.get(k)
-            if label == "paper":
-                paper_baseline[k] = {
-                    "proof_bytes": res["proof_bytes"],
-                    "prove_s": res["prove_s"],
-                    "verify_ms": res["verify_ms"], "eps": eps}
-                base = None
-            line = csv_line(label, k, schedule, res["proof_bytes"],
-                            res["prove_s"], res["verify_ms"], base)
-            print(line, flush=True)
-            lines.append(line)
-
-    with open("benchmarkdata.csv", "w") as f:
-        f.write("\n".join(lines) + "\n")
+            for k in ks_for_schedule(schedule):
+                if ks_filter and k not in ks_filter:
+                    continue
+                res = run_mf_fri(label, k)
+                eps = (1 << k) / res["prove_s"]
+                base = paper_baseline.get(k)
+                if label == "paper":
+                    paper_baseline[k] = {
+                        "proof_bytes": res["proof_bytes"],
+                        "prove_s": res["prove_s"],
+                        "verify_ms": res["verify_ms"], "eps": eps}
+                    base = None
+                line = csv_line(label, k, schedule, res["proof_bytes"],
+                                res["prove_s"], res["verify_ms"], base)
+                print(line, flush=True)
+                f.write(line + "\n")
+                f.flush()
 
     if os.environ.get("BENCH_NIZK", "1") != "0":
         for k in sorted(ks_filter or {12, 14, 16}):

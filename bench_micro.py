@@ -7,7 +7,8 @@ Prints one JSON line per metric:
   merkle_build_s            arity-16 DS tree of 2^16 leaves
   merkle_open_verify_ms     q=64 union-of-paths open + verify
   ntt_elems_per_s           radix-2 NTT of 2^20 elements
-  mle_commit_s              MLE commit (arity-16 tree) at k=16
+  mle_commit_k{12,14,16}_s  MLE commit (arity-16 tree), protocol.rs parity
+  mle_open_verify_k*_q*_ms  MLE open+verify at q in {64,128}
 
 Env: MICRO_SIZE (default full).
 """
@@ -97,6 +98,32 @@ def main():
     dt = time.perf_counter() - t0
     emit("ntt_2e20_elems_per_s", m / dt, "elems/s")
     emit("ntt_2e20_s", dt, "s")
+
+    # --- MLE commit + open (protocol.rs:39-64 parity) --------------------
+    from stark_mlwe_tpu.channel import DeviceMerkleCommitment
+
+    for kk in (12, 14, 16):
+        nv = 1 << kk
+        vals = rand_mont(nv)
+        scheme = DeviceMerkleCommitment(tree_label=0x11E)
+        root, tree = scheme.commit(vals)  # warm shapes
+        t0 = time.perf_counter()
+        root, tree = scheme.commit(vals)
+        root_val = root
+        commit_s = time.perf_counter() - t0
+        emit(f"mle_commit_k{kk}_s", commit_s, "s")
+        for q in (64, 128):
+            idx = sorted(int(i) for i in
+                         rng.choice(nv, size=q, replace=False))
+            proof = scheme.open(idx, tree)
+            vals_ints = tree.node_ints(0, idx)
+            assert scheme.verify(root_val, idx, vals_ints, proof)
+            t0 = time.perf_counter()
+            proof = scheme.open(idx, tree)
+            ok = scheme.verify(root_val, idx, vals_ints, proof)
+            ov_ms = (time.perf_counter() - t0) * 1e3
+            assert ok
+            emit(f"mle_open_verify_k{kk}_q{q}_ms", ov_ms, "ms")
 
 
 if __name__ == "__main__":

@@ -114,9 +114,20 @@ def csv_line(label, k, schedule, proof_bytes, prove_s, verify_ms,
             f"{d[3]:.2f}")
 
 
+def _reps_for_k(k: int) -> int:
+    """Criterion-style repetition: more samples where runs are short."""
+    if k <= 13:
+        return 5
+    if k <= 16:
+        return 3
+    return 2
+
+
 def run_mf_fri(label: str, k: int, warmup: bool = True,
-               check_verify: bool = True):
-    """Times one prove(+verify) at (label, k) on the device prover.
+               check_verify: bool = True, reps: int | None = None):
+    """Times prove(+verify) at (label, k) on the device prover, mean over
+    `reps` runs after one warmup (criterion-mean-equivalent; the recorded
+    reference numbers are criterion means).
 
     Returns dict with prove_s, verify_ms, proof_bytes, proof object.
     """
@@ -140,19 +151,23 @@ def run_mf_fri(label: str, k: int, warmup: bool = True,
     builder = DeviceDeepAliRealBuilder()
     n0 = 1 << k
 
+    if reps is None:
+        reps = _reps_for_k(k)
     if warmup:  # compile all shapes once
         deep_fri_prove(builder, da, ds_, de, dt_, n0, params)
 
     t0 = time.perf_counter()
-    proof = deep_fri_prove(builder, da, ds_, de, dt_, n0, params)
-    prove_s = time.perf_counter() - t0
+    for _ in range(reps):
+        proof = deep_fri_prove(builder, da, ds_, de, dt_, n0, params)
+    prove_s = (time.perf_counter() - t0) / reps
 
     verify_ms = 0.0
     if check_verify:
         deep_fri_verify(params, proof)  # warm shapes
         t1 = time.perf_counter()
-        ok = deep_fri_verify(params, proof)
-        verify_ms = (time.perf_counter() - t1) * 1e3
+        for _ in range(reps):
+            ok = deep_fri_verify(params, proof)
+        verify_ms = (time.perf_counter() - t1) * 1e3 / reps
         assert ok, "proof failed verification"
 
     return {

@@ -134,6 +134,34 @@ def test_e2e_device_proof_equals_spec_proof():
     bad.f_i = orig
 
 
+def test_e2e_64ary_proof_equals_spec():
+    """64-ary schedule (t=65 sponges in the tree interiors, hashed-leaf
+    rule at arity 64 — fri.rs:275, poseidon/src/lib.rs:120-146)."""
+    n0 = 512
+    a, s, e, t = (rand_elems(n0) for _ in range(4))
+    params = DeepFriParams(schedule=[64], r=6, seed_z=0xDEEF_BAAD)
+    spec_proof = sfri.deep_fri_prove(
+        sfri.DeepAliRealBuilder(), a, s, e, t, n0, params)
+    dev_proof = deep_fri_prove(
+        DeviceDeepAliRealBuilder(), a, s, e, t, n0, params)
+    _proofs_equal(dev_proof, spec_proof)
+    assert deep_fri_verify(params, dev_proof)
+
+
+def test_e2e_128ary_proof_equals_spec():
+    """128-ary schedule (t=129 sponges — the width routed off Pallas —
+    with both full 128-child and partial tail groups)."""
+    n0 = 1024
+    a, s, e, t = (rand_elems(n0) for _ in range(4))
+    params = DeepFriParams(schedule=[128], r=6, seed_z=0xDEEF_BAAD)
+    spec_proof = sfri.deep_fri_prove(
+        sfri.DeepAliRealBuilder(), a, s, e, t, n0, params)
+    dev_proof = deep_fri_prove(
+        DeviceDeepAliRealBuilder(), a, s, e, t, n0, params)
+    _proofs_equal(dev_proof, spec_proof)
+    assert deep_fri_verify(params, dev_proof)
+
+
 def test_e2e_mock_builder_matches_spec():
     n0 = 64
     a, s, e, t = (rand_elems(n0) for _ in range(4))

@@ -80,3 +80,24 @@ def test_four_step_matches_flat():
     flat = fr.unpack_ints(ntt.ntt(dev(c)), mont=True)
     four = fr.unpack_ints(ntt.ntt_four_step(dev(c), n1, n2), mont=True)
     assert four == flat
+
+
+def test_four_step_matches_flat_2e16():
+    """Four-step at production scale (n = 2^16 = 256 x 256), checked
+    against the flat radix-2 transform (device-to-device, both paths
+    independently verified against the naive transform at small n)."""
+    n1 = n2 = 256
+    c = rand_elems(n1 * n2)
+    flat = ntt.ntt(dev(c))
+    four = ntt.ntt_four_step(dev(c), n1, n2)
+    import numpy as np
+    assert np.array_equal(np.asarray(flat), np.asarray(four))
+
+
+def test_ntt_2e16_roundtrip():
+    n = 1 << 16
+    c = rand_elems(n)
+    x = dev(c)
+    back = ntt.intt(ntt.ntt(x))
+    import numpy as np
+    assert np.array_equal(np.asarray(back), np.asarray(x))

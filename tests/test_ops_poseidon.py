@@ -21,11 +21,13 @@ def to_dev(xs, shape):
     return jnp.asarray(fr.pack_ints(xs, mont=True)).reshape(*shape, fr.N)
 
 
-@pytest.mark.parametrize("t", [9, 17, 33])
+@pytest.mark.parametrize("t", [9, 17, 33, 65, 129])
 def test_permute_matches_spec(t):
+    """All five reference widths (poseidon/src/lib.rs:120-146), including
+    t=65 (Pallas dense-MXU body) and t=129 (XLA fallback route)."""
     params = spos.params_for_width(t)
     dp = dpos.device_params(params)
-    B = 3
+    B = 3 if t < 65 else 2
     states = [rand_elems(t) for _ in range(B)]
     dev = to_dev([x for s in states for x in s], (B, t))
     out = dpos.permute(dev, dp)
@@ -44,8 +46,13 @@ def test_permute_t17_static_seeds():
         assert got == spos.permute(s, params)
 
 
-@pytest.mark.parametrize("t,k", [(9, 2), (17, 2), (17, 16), (17, 20), (33, 32)])
+@pytest.mark.parametrize("t,k", [(9, 2), (17, 2), (17, 16), (17, 20),
+                                 (33, 32), (65, 64), (65, 8),
+                                 (129, 128), (129, 8)])
 def test_sponge_ds_dynamic(t, k):
+    """Sponge at every Merkle arity the reference supports, including the
+    full-group (k = t-1) and partial-tail-group shapes of the 64/128-ary
+    trees (poseidon/src/lib.rs:288-312 semantics)."""
     params = spos.params_for_width(t)
     dp = dpos.device_params(params)
     B = 2

@@ -90,13 +90,15 @@ def test_sharded_step_matches_single_chip(n_dev):
     assert phi_z_int == lagrange_eval_on_h(phi_spec, z, omega)
 
 
-@pytest.mark.parametrize("n_dev", [heavy_param(2), 8])
-def test_ntt_sharded_matches_single_chip(n_dev):
+@pytest.mark.parametrize("n_dev,n1,n2", [
+    (2, 16, 16), (8, 16, 16),
+    pytest.param(8, 64, 64, marks=[] if HEAVY else pytest.mark.skip(
+        reason="large sharded NTT (STARK_TESTS_HEAVY=1)"))])
+def test_ntt_sharded_matches_single_chip(n_dev, n1, n2):
     if len(jax.devices()) < n_dev:
         pytest.skip("not enough devices")
     from stark_mlwe_tpu.ops import ntt as dntt
 
-    n1, n2 = 16, 16
     n = n1 * n2
     mesh = par.make_mesh(n_dev)
     fn, tw = par.build_ntt_sharded(mesh, n1, n2)
