@@ -175,19 +175,41 @@ def _sub_roll(x, rows: int, shift: int):
 
 def _redc_f(T, nred: int):
     """Extended REDC on frame T [nT, G] (relaxed rows); canonical
-    [16, G] out."""
+    [16, G] out.
+
+    Steps run PAIRED: two limbs share one frame update (the cross
+    contributions lo0[1] + hi0[0] feeding step i+1 are added as [1, G]
+    scalars before the frame write), so the expensive [nT, G] rolls/adds
+    happen nred/2 times instead of nred.  Bit-exact with the sequential
+    per-limb recurrence."""
     prow = _SCOPE["prow"]
     nT = T.shape[0]
     carry = jnp.zeros_like(T[0:1])
-    for i in range(nred):
-        vi = T[i:i + 1] + carry
-        ti = vi & MASK
-        m = (ti * jnp.uint32(fr.N0INV)) & MASK       # [1, G]
-        prod = m * prow                              # bcast sublanes
-        lo = prod & MASK
-        hi = prod >> BITS
-        T = T + _sub_roll(lo, nT, i) + _sub_roll(hi, nT, i + 1)
-        carry = (vi >> BITS) + ((ti + lo[0:1]) >> BITS)
+    i = 0
+    while i < nred:
+        vi0 = T[i:i + 1] + carry
+        ti0 = vi0 & MASK
+        m0 = (ti0 * jnp.uint32(fr.N0INV)) & MASK     # [1, G]
+        prod0 = m0 * prow                            # bcast sublanes
+        lo0 = prod0 & MASK
+        hi0 = prod0 >> BITS
+        carry = (vi0 >> BITS) + ((ti0 + lo0[0:1]) >> BITS)
+        if i + 1 < nred:
+            # step i's frame contribution at row i+1 is lo0[1] + hi0[0]
+            vi1 = T[i + 1:i + 2] + lo0[1:2] + hi0[0:1] + carry
+            ti1 = vi1 & MASK
+            m1 = (ti1 * jnp.uint32(fr.N0INV)) & MASK
+            prod1 = m1 * prow
+            lo1 = prod1 & MASK
+            hi1 = prod1 >> BITS
+            carry = (vi1 >> BITS) + ((ti1 + lo1[0:1]) >> BITS)
+            C = (_sub_roll(lo0, N + 2, 0) + _sub_roll(hi0 + lo1, N + 2, 1)
+                 + _sub_roll(hi1, N + 2, 2))
+            T = T + _sub_roll(C, nT, i)
+            i += 2
+        else:
+            T = T + _sub_roll(lo0, nT, i) + _sub_roll(hi0, nT, i + 1)
+            i += 1
     cols = [T[nred + k:nred + k + 1] for k in range(N + 1)]
     cols[0] = cols[0] + carry
     out, _ = fr._norm(cols)
@@ -201,26 +223,46 @@ def _add_f(a, b):
 
 
 def _mul_f(a, b):
-    """Montgomery product on [16, G] (Montgomery in/out)."""
+    """Montgomery product on [16, G] (Montgomery in/out).
+
+    Both the product accumulation and the REDC run limb-PAIRED: each
+    iteration combines two limbs' lo/hi rows in a small [18, G] block
+    (cheap 1/2-row rolls) and pays the big [33, G] roll+add once — the
+    frame traffic that dominates this kernel halves.  Bit-exact with the
+    per-limb form."""
     prow = _SCOPE["prow"]
     nT = 2 * N + 1
     T = None
-    for i in range(N):
-        prod = a[i:i + 1] * b                        # sublane bcast
-        lo = prod & MASK
-        hi = prod >> BITS
-        upd = _sub_roll(lo, nT, i) + _sub_roll(hi, nT, i + 1)
+    for i in range(0, N, 2):
+        prod0 = a[i:i + 1] * b                       # sublane bcast
+        prod1 = a[i + 1:i + 2] * b
+        lo0 = prod0 & MASK
+        hi0 = prod0 >> BITS
+        lo1 = prod1 & MASK
+        hi1 = prod1 >> BITS
+        C = (_sub_roll(lo0, N + 2, 0) + _sub_roll(hi0 + lo1, N + 2, 1)
+             + _sub_roll(hi1, N + 2, 2))
+        upd = _sub_roll(C, nT, i)
         T = upd if T is None else T + upd
     carry = jnp.zeros_like(T[0:1])
-    for i in range(N):
-        vi = T[i:i + 1] + carry
-        ti = vi & MASK
-        m = (ti * jnp.uint32(fr.N0INV)) & MASK
-        prod = m * prow
-        lo = prod & MASK
-        hi = prod >> BITS
-        T = T + _sub_roll(lo, nT, i) + _sub_roll(hi, nT, i + 1)
-        carry = (vi >> BITS) + ((ti + lo[0:1]) >> BITS)
+    for i in range(0, N, 2):
+        vi0 = T[i:i + 1] + carry
+        ti0 = vi0 & MASK
+        m0 = (ti0 * jnp.uint32(fr.N0INV)) & MASK
+        prod0 = m0 * prow
+        lo0 = prod0 & MASK
+        hi0 = prod0 >> BITS
+        carry = (vi0 >> BITS) + ((ti0 + lo0[0:1]) >> BITS)
+        vi1 = T[i + 1:i + 2] + lo0[1:2] + hi0[0:1] + carry
+        ti1 = vi1 & MASK
+        m1 = (ti1 * jnp.uint32(fr.N0INV)) & MASK
+        prod1 = m1 * prow
+        lo1 = prod1 & MASK
+        hi1 = prod1 >> BITS
+        carry = (vi1 >> BITS) + ((ti1 + lo1[0:1]) >> BITS)
+        C = (_sub_roll(lo0, N + 2, 0) + _sub_roll(hi0 + lo1, N + 2, 1)
+             + _sub_roll(hi1, N + 2, 2))
+        T = T + _sub_roll(C, nT, i)
     cols = [T[N + k:N + k + 1] for k in range(N + 1)]
     cols[0] = cols[0] + carry
     out, _ = fr._norm(cols)
@@ -308,14 +350,15 @@ def _permute_f(s, rf: int, rp: int, t: int):
         x = jnp.where(sc["lane0mask"] != 0, x5, s)   # ...keep lane i==0
         qr = sc["qrow"][pl.ds(r, 1)][0]
         qc = sc["qcol"][pl.ds(r, 1)][0]
-        # row dot: group-reduce the lazy frame, REDC, broadcast to group
+        # row dot: group-reduce the lazy frame (heads valid)
         Tr = _group_reduce_heads(_accum_const(qr, x), t)
-        new0 = _redc_f(Tr, fr.NRED_MAT)              # heads valid
         # column update: s_i + qcol_i * x0 (x0 broadcast from heads)
         x0b = _head_broadcast(x, sc["headmask"])
         Tc = _accum_const(qc, x0b) + _accum_const(sc["idc"], x)
-        rest = _redc_f(Tc, fr.NRED_MAT)              # lane0 rows zero
-        return jnp.where(sc["lane0mask"] != 0, new0, rest)
+        # frames are lane-disjoint (Tr head lanes, Tc the rest) and REDC
+        # is lane-wise: select once, pay ONE REDC instead of two
+        Tm = jnp.where(sc["headmask"][0:1] != 0, Tr, Tc)
+        return _redc_f(Tm, fr.NRED_MAT)
 
     s = jax.lax.fori_loop(0, half, full_round, s)
     s = jax.lax.fori_loop(0, rp - 1, partial_round, s)

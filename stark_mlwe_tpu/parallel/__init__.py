@@ -38,6 +38,21 @@ from ..spec.field import P
 from ..spec.poseidon import params_for_arity
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host entry point: `jax.distributed.initialize` so
+    `make_mesh()` spans every global device; shard_map collectives then
+    ride ICI within a slice and DCN across hosts (SURVEY.md section 2
+    backend spec).  No-op for a single process.  The host-replicated FS
+    discipline (identical bytes in -> identical challenges out on every
+    process) is what makes the SPMD prover correct across hosts."""
+    if not num_processes or num_processes == 1:
+        return
+    jax.distributed.initialize(coordinator_address, num_processes,
+                               process_id)
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

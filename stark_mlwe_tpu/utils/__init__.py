@@ -46,7 +46,8 @@ def logln(msg: str) -> None:
 
 
 class phase_timer:
-    """with phase_timer('fold'): ... -> logs elapsed ms when enabled."""
+    """with phase_timer('fold'): ... -> logs elapsed ms when enabled and
+    feeds the process-wide phase accumulator (utils.profiling)."""
 
     def __init__(self, name: str):
         self.name = name
@@ -56,5 +57,8 @@ class phase_timer:
         return self
 
     def __exit__(self, *exc):
-        logln(f"{self.name}: {(time.perf_counter() - self.t0) * 1e3:.1f} ms")
+        dt = time.perf_counter() - self.t0
+        logln(f"{self.name}: {dt * 1e3:.1f} ms")
+        from . import profiling
+        profiling.record_phase(self.name, dt)
         return False

@@ -58,3 +58,35 @@ def test_pallas_absorb_chain_interpret_matches_spec():
     got = fr.unpack_ints(got_states, mont=True)
     want_flat = [x for st in want for x in st]
     assert got == want_flat
+
+
+def test_chain_lanes_interpret_matches_spec():
+    """Lane-parallel chain kernel (poseidon_chain): 4 chains at 32-lane
+    stride, limbs in sublanes — the production FS witness-absorb path."""
+    import numpy as np
+
+    from stark_mlwe_tpu.ops import poseidon_chain as pch
+
+    params = spos.params_for_width(17)
+    dp = dpos.device_params(params)
+    rate, t = params.rate, params.t
+    C, nb = 4, 1  # one block: interpret mode pays per-op; 1 permutation
+    fields = [[rng.randrange(P) for _ in range(nb * rate)] for _ in range(C)]
+    want = []
+    for c in range(C):
+        st = [0] * t
+        for b in range(nb):
+            for i in range(rate):
+                st[i] = (st[i] + fields[c][b * rate + i]) % P
+            st = spos.permute(st, params)
+        want.append(st)
+
+    init = jnp.zeros((fr.N, pch.G), dtype=fr.U32)
+    blk_np = np.zeros((nb, fr.N, pch.G), dtype=np.uint32)
+    for b in range(nb):
+        blk_np[b] = pch.pack_lanes(
+            [fields[c][b * rate:(b + 1) * rate] for c in range(C)])
+    out = pch.absorb_chain_lanes(init, jnp.asarray(blk_np), dp,
+                                 interpret=True)
+    got = pch.unpack_lanes(out, t, C)
+    assert got == want
