@@ -34,6 +34,16 @@ def emit(metric, value, unit, vs=None):
                       "unit": unit, "vs_baseline": vs}))
 
 
+def sync(x):
+    """Force completion via a dependent host readback.
+
+    `block_until_ready` on the axon TPU tunnel returns before the device
+    queue drains (measured: a t=129 Pallas batch 'completes' in 0.03 ms
+    by block_until_ready but takes 178 ms to a host readback), so every
+    timed region must end in a transfer."""
+    return np.asarray(jnp.ravel(x)[:1])
+
+
 def main():
     from stark_mlwe_tpu import merkle as dmk
     from stark_mlwe_tpu.ops import fr, ntt
@@ -53,12 +63,12 @@ def main():
     B = 1 << 16
     states = rand_mont(B * 17).reshape(B, 17, fr.N)
     out = dpos.permute(states, dp)
-    out.block_until_ready()
+    sync(out)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         out = dpos.permute(out, dp)  # chained: forces real execution
-    out.block_until_ready()
+    sync(out)
     dt = (time.perf_counter() - t0) / reps
     emit("poseidon_t17_perms_per_s", B / dt, "perms/s")
 
@@ -91,10 +101,10 @@ def main():
     m = 1 << 20
     x = rand_mont(m)
     y = ntt.ntt(x)
-    y.block_until_ready()
+    sync(y)
     t0 = time.perf_counter()
     y = ntt.ntt(x)
-    y.block_until_ready()
+    sync(y)
     dt = time.perf_counter() - t0
     emit("ntt_2e20_elems_per_s", m / dt, "elems/s")
     emit("ntt_2e20_s", dt, "s")

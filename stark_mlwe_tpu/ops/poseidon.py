@@ -98,6 +98,9 @@ def permute(state, dp: DeviceParams):
         from . import poseidon_pallas
         if poseidon_pallas.pallas_supported(dp.t):
             return poseidon_pallas.permute(state, dp)
+        from . import poseidon_wide
+        if poseidon_wide.wide_supported(dp.t):
+            return poseidon_wide.permute(state, dp)
 
     # ONE scan body for all RF+RP rounds (the full/partial distinction is
     # a per-round select): a third of the traced-graph size of separate
