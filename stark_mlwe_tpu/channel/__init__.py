@@ -224,6 +224,31 @@ class SumCheckProver:
 from ..spec.channel import SumCheckVerifier  # host math only  # noqa: E402
 
 
+def _sample_queries(chan, cfg: SumCheckMFConfig, i: int, half: int) -> list:
+    """Spot-check index sampling (channel/src/lib.rs:660-695): channel
+    challenges folded to u64 mod half, deduped, with the exhaustive
+    fallback.  Mutates the channel transcript."""
+    q_target = min(max(cfg.queries_per_round, 1), half)
+    queries: set = set()
+    attempt = 0
+    max_attempts = max(q_target * 16, 16)
+    j = 0
+    while len(queries) < q_target and attempt < max_attempts:
+        qlabel = (b"sumcheck-mf/q" + i.to_bytes(8, "little")
+                  + j.to_bytes(8, "little"))
+        rr = chan.challenge_scalar(qlabel)
+        if half > 0:
+            queries.add(_xor_fold_u64(rr) % half)
+        j += 1
+        attempt += 1
+    if len(queries) < q_target:
+        for idx in range(half):
+            queries.add(idx)
+            if len(queries) == q_target:
+                break
+    return sorted(queries)
+
+
 class SumCheckMFProver:
     """channel/src/lib.rs:632-730 with device layers and commits."""
 
@@ -262,25 +287,7 @@ class SumCheckMFProver:
         next_root, next_tree = self.scheme.commit(nxt.values_dev)
         self.chan.send_digest(b"sumcheck-mf/root/next", next_root)
 
-        q_target = min(max(self.cfg.queries_per_round, 1), half)
-        queries: set = set()
-        attempt = 0
-        max_attempts = max(q_target * 16, 16)
-        j = 0
-        while len(queries) < q_target and attempt < max_attempts:
-            qlabel = (b"sumcheck-mf/q" + i.to_bytes(8, "little")
-                      + j.to_bytes(8, "little"))
-            rr = self.chan.challenge_scalar(qlabel)
-            if half > 0:
-                queries.add(_xor_fold_u64(rr) % half)
-            j += 1
-            attempt += 1
-        if len(queries) < q_target:
-            for idx in range(half):
-                queries.add(idx)
-                if len(queries) == q_target:
-                    break
-        qsorted = sorted(queries)
+        qsorted = _sample_queries(self.chan, self.cfg, i, half)
 
         cur_indices = []
         for jj in qsorted:
@@ -386,21 +393,64 @@ class SumCheckMFVerifier:
 # NIZK wire API (channel/src/lib.rs:1045-1240) - device prover/verifier.
 # ---------------------------------------------------------------------------
 
+def _plain_chain(values, root_dev, k: int):
+    """All k plain sum-check rounds (claim, coefficients, FS challenges,
+    folds) as one traced graph on a DeviceTranscript — zero host syncs.
+    Replays prove_plain's absorb discipline (channel/src/lib.rs:406-486)
+    bit-exactly; returns (claim, [k, 2, 16] coeffs, final_eval)."""
+    from ..transcript_dev import DeviceTranscript
+
+    dt = DeviceTranscript(b"E2E/PLAIN")
+    dt.absorb_bytes(b"CHAN/SEND/DIGEST")
+    dt.absorb_bytes(b"commit/root")
+    dt.absorb_field_dev(root_dev)
+    s = fr.reduce_add(values)
+    dt.absorb_bytes(b"SUMCHECK/CLAIM")
+    dt.absorb_field_dev(s)
+    one_m = jnp.asarray(fr.MONT_ONE)
+    cur = values
+    cpairs = []
+    for i in range(k):
+        h = int(cur.shape[0]) // 2
+        v = cur.reshape(h, 2, fr.N)
+        c0 = fr.reduce_add(v[:, 0, :])
+        c1 = fr.reduce_add(fr.sub(v[:, 1, :], v[:, 0, :]))
+        cpairs.append(jnp.stack([c0, c1], axis=0))
+        dt.absorb_bytes(b"SUMCHECK/ROUND")
+        dt.absorb_bytes(i.to_bytes(8, "little"))
+        dt.absorb_bytes(b"COEFF/c0")
+        dt.absorb_field_dev(c0)
+        dt.absorb_bytes(b"COEFF/c1")
+        dt.absorb_field_dev(c1)
+        r = dt.challenge_dev(b"sumcheck/r" + i.to_bytes(8, "little"))
+        om = fr.sub(one_m, r)
+        cur = fr.add(fr.mont_mul(om[None, :], v[:, 0, :]),
+                     fr.mont_mul(r[None, :], v[:, 1, :]))
+    return s, jnp.stack(cpairs, axis=0), cur[0]
+
+
+from functools import partial as _partial  # noqa: E402
+import jax as _jax  # noqa: E402
+
+_plain_chain_jit = _partial(_jax.jit, static_argnums=(2,))(_plain_chain)
+
+
 def prove_plain(vk: VK, witness) -> ProofPlain:
     assert vk.variant == "plain"
-    chan = ProverChannel(FastTranscript(b"E2E/PLAIN"))
-    mp = ChanMerkleProver(chan, MerkleChannelCfg(vk.tree_label))
     mle = (witness if isinstance(witness, DeviceMLE)
            else DeviceMLE.from_ints(list(witness)))
-    root = mp.commit_vector(mle.values_dev)
-    sp = SumCheckProver(MleProver(mp, mle))
-    sp.send_claim()
-    rounds = []
-    for i in range(vk.k):
-        c0, c1, _ = sp.round(i, b"sumcheck/r")
-        rounds.append((fr_to_bytes(c0), fr_to_bytes(c1)))
-    final_eval = sp.finalize_and_bind_eval()
-    return ProofPlain(fr_to_bytes(root), rounds, fr_to_bytes(final_eval))
+    scheme = _scheme(MerkleChannelCfg(vk.tree_label))
+    tree = dmk.build_tree(mle.values_dev, scheme._tree_cfg())
+    root_dev = tree.levels_dev[-1][0]
+    s, cps, final = _plain_chain_jit(mle.values_dev, root_dev, vk.k)
+    # ONE device->host transfer for every value the proof carries.
+    bundle = fr.unpack_ints(fr.from_mont(jnp.concatenate(
+        [root_dev[None], s[None], cps.reshape(-1, fr.N), final[None]],
+        axis=0)))
+    root = bundle[0]
+    rounds = [(fr_to_bytes(bundle[2 + 2 * i]), fr_to_bytes(bundle[3 + 2 * i]))
+              for i in range(vk.k)]
+    return ProofPlain(fr_to_bytes(root), rounds, fr_to_bytes(bundle[-1]))
 
 
 def verify_plain(vk: VK, proof: ProofPlain) -> bool:
@@ -426,25 +476,164 @@ def verify_plain(vk: VK, proof: ProofPlain) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# Device-chained MF prove: the whole round chain (fold -> commit -> root ->
+# round challenge) runs on device with ZERO host syncs, then ONE bulk
+# download feeds the host-side Fiat-Shamir assembly.  The round challenge
+# r_i depends only on (i, prev_root) (channel/src/lib.rs:592-599), so it is
+# derivable on device from a precomputed one-block sponge prefix - the
+# round-by-round SumCheckMFProver pays ~6 tunnel round trips (~40 ms each)
+# per round, which dominated the reference's CPU time at k<=14.
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _mf_chal_consts(i: int):
+    """Constant sponge state for mf_round_challenge_from_root(i, ·): the
+    root lands at a fixed rate position, everything else (markers, label
+    words, challenge suffix) is static; one permutation total."""
+    from ..spec.transcript import (DS_ABSORB_BYTES, DS_CHALLENGE, RATE,
+                                   Transcript, bytes_to_field_words,
+                                   domain_tag_to_field)
+
+    tr = Transcript(b"SUMCHECK-MF/ROUND-CHAL")
+    tr.absorb_bytes(b"SUMCHECK/MF/R")
+    tr.absorb_bytes(i.to_bytes(8, "little"))
+    state = list(tr.state)
+    p = tr.pos
+    suffix = ([domain_tag_to_field(DS_CHALLENGE),
+               domain_tag_to_field(DS_ABSORB_BYTES)]
+              + bytes_to_field_words(b"r_i"))
+    assert p + 1 + len(suffix) <= RATE, "mf challenge crossed a block"
+    for j, v in enumerate(suffix):
+        state[p + 1 + j] = v
+    return fr.pack_ints(state, mont=True).reshape(len(state), fr.N), p
+
+
+def _mf_round_chal_dev(i: int, root_dev):
+    """Device r_i = mf_round_challenge_from_root(i, root): [16] mont."""
+    from ..fri import fs as ffs
+    from ..ops import poseidon as dpos
+
+    packed, p = _mf_chal_consts(i)
+    cs = jnp.asarray(packed)
+    st = jnp.concatenate(
+        [cs[:p], fr.add(cs[p:p + 1, :], root_dev[None, :]), cs[p + 1:]],
+        axis=0)
+    out = dpos.permute(st[None], ffs._dp())
+    return out[0, 0, :]
+
+
+def _mf_chain_device(mle: DeviceMLE, tree_cfg, k: int):
+    """All k rounds of fold/commit/challenge on device; no host syncs."""
+    trees = [dmk.build_tree(mle.values_dev, tree_cfg)]
+    layers = [mle]
+    cpairs = []
+    cur = mle
+    one_m = jnp.asarray(fr.MONT_ONE)
+    for i in range(k):
+        h = int(cur.values_dev.shape[0]) // 2
+        v = cur.values_dev.reshape(h, 2, fr.N)
+        c0 = fr.reduce_add(v[:, 0, :])
+        c1 = fr.sub(fr.reduce_add(v[:, 1, :]), c0)
+        cpairs.append((c0, c1))
+        root_dev = trees[i].levels_dev[-1][0]
+        r_dev = _mf_round_chal_dev(i, root_dev)
+        om_dev = fr.sub(one_m, r_dev)
+        nxt = fr.add(fr.mont_mul(om_dev[None, :], v[:, 0, :]),
+                     fr.mont_mul(r_dev[None, :], v[:, 1, :]))
+        cur = DeviceMLE(nxt)
+        layers.append(cur)
+        trees.append(dmk.build_tree(nxt, tree_cfg))
+    return layers, trees, cpairs
+
+
+def _mf_download(layers, trees, cpairs):
+    """ONE device->host transfer: every tree level, every (c0, c1), every
+    layer - primes the host caches so proof assembly never syncs again."""
+    arrays = []
+    for t in trees:
+        arrays.extend(t.levels_dev)
+    for c0, c1 in cpairs:
+        arrays.append(c0[None, :])
+        arrays.append(c1[None, :])
+    for lay in layers:
+        arrays.append(lay.values_dev)
+    bundle = fr.unpack_ints(fr.from_mont(jnp.concatenate(arrays, axis=0)))
+    off = 0
+    for t in trees:
+        for li, lv in enumerate(t.levels_dev):
+            n = int(lv.shape[0])
+            t._levels_host[li] = bundle[off:off + n]
+            off += n
+    cints = []
+    for _ in cpairs:
+        cints.append((bundle[off], bundle[off + 1]))
+        off += 2
+    for lay in layers:
+        n = int(lay.values_dev.shape[0])
+        lay._ints = bundle[off:off + n]
+        off += n
+    return cints
+
+
 def prove_mf(vk: VK, witness) -> ProofMF:
     assert vk.variant == "mf"
     chan = ProverChannel(FastTranscript(b"E2E/MF"))
     cfg = SumCheckMFConfig(vk.queries_per_round)
     mle = (witness if isinstance(witness, DeviceMLE)
            else DeviceMLE.from_ints(list(witness)))
-    sp = SumCheckMFProver(cfg, MerkleChannelCfg(vk.tree_label), chan, mle)
-    initial_root = sp.current_root()
-    sp.send_claim()
+    mcfg = MerkleChannelCfg(vk.tree_label)
+    scheme = _scheme(mcfg)
+    layers, trees, cpairs = _mf_chain_device(mle, scheme._tree_cfg(), vk.k)
+    cints = _mf_download(layers, trees, cpairs)
+
+    # Host Fiat-Shamir assembly, byte-identical to SumCheckMFProver's
+    # absorb discipline; all data answered from the primed host caches.
+    initial_root = trees[0].root()
+    chan.send_digest(b"sumcheck-mf/root/0", initial_root)
+    s_claim = (2 * cints[0][0] + cints[0][1]) % P   # sum = 2*c0 + c1
+    chan.tr.absorb_bytes(b"SUMCHECK/MF/CLAIM")
+    chan.tr.absorb_field(s_claim)
+
     rounds = []
     for i in range(vk.k):
-        c0, c1, _r, next_root, op = sp.round(i)
+        c0, c1 = cints[i]
+        t = chan.tr
+        t.absorb_bytes(b"SUMCHECK/MF/ROUND")
+        t.absorb_bytes(i.to_bytes(8, "little"))
+        t.absorb_bytes(b"COEFF/c0")
+        t.absorb_field(c0)
+        t.absorb_bytes(b"COEFF/c1")
+        t.absorb_field(c1)
+        next_root = trees[i + 1].root()
+        chan.send_digest(b"sumcheck-mf/root/next", next_root)
+
+        half = int(layers[i + 1].values_dev.shape[0])
+        qsorted = _sample_queries(chan, cfg, i, half)
+        cur_indices = []
+        for jj in qsorted:
+            cur_indices.extend((2 * jj, 2 * jj + 1))
+        cur_values = layers[i].value_at(cur_indices)
+        cur_proof = trees[i].open_many(cur_indices)
+        next_indices = list(qsorted)
+        next_values = layers[i + 1].value_at(next_indices)
+        next_proof = trees[i + 1].open_many(next_indices)
+        chan.send_opening(cur_indices, cur_values, cur_proof)
+        chan.send_opening(next_indices, next_values, next_proof)
+
         rounds.append(RoundMF(
             fr_to_bytes(c0), fr_to_bytes(c1), fr_to_bytes(next_root),
-            op.cur_indices, [fr_to_bytes(v) for v in op.cur_values],
-            MerkleProofBytes.from_proof(op.cur_proof),
-            op.next_indices, [fr_to_bytes(v) for v in op.next_values],
-            MerkleProofBytes.from_proof(op.next_proof)))
-    final_eval = sp.finalize_eval()
+            cur_indices, [fr_to_bytes(v) for v in cur_values],
+            MerkleProofBytes.from_proof(cur_proof),
+            next_indices, [fr_to_bytes(v) for v in next_values],
+            MerkleProofBytes.from_proof(next_proof)))
+
+    final_eval = layers[vk.k].value_at([0])[0]
+    chan.tr.absorb_bytes(b"SUMCHECK/MF/FINAL/EVAL")
+    chan.tr.absorb_field(final_eval)
     return ProofMF(fr_to_bytes(initial_root), rounds,
                    fr_to_bytes(final_eval))
 

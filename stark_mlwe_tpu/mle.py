@@ -48,6 +48,8 @@ class DeviceMLE:
         return self._ints
 
     def value_at(self, indices) -> list:
+        if self._ints is not None:
+            return [self._ints[i] for i in indices]
         g = jnp.take(self.values_dev, jnp.asarray(list(indices)), axis=0)
         return fr.unpack_ints(g, mont=True)
 
