@@ -59,6 +59,8 @@ def _get_lib():
         lib.poseidon_factorize.argtypes = [
             u64p, ctypes.c_int, ctypes.c_int, u64p, u64p, u64p, u64p]
         lib.poseidon_factorize.restype = ctypes.c_int
+        lib.fr_to_mont_batch.argtypes = [u64p, ctypes.c_long, u64p]
+        lib.fr_from_mont_batch.argtypes = [u64p, ctypes.c_long]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -81,6 +83,29 @@ def _from_mont_limbs(arr) -> int:
 
 
 _MONT_ONE = np.array(_mont_limbs(1), dtype=np.uint64)
+
+_R2 = pow(2, 512, P)
+_R2_LIMBS = np.array([( _R2 >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+                      for i in range(4)], dtype=np.uint64)
+
+
+def _ints_to_mont_buf(values, lib) -> np.ndarray:
+    """Canonical ints -> Montgomery 4x64 limb buffer.  The bigint work is
+    one `to_bytes` per value (~0.1 us); the modmul by R^2 runs in C++
+    (the old per-value Python `x*R % P` was ~2 us/value and dominated
+    small native batches)."""
+    b = b"".join(v.to_bytes(32, "little") for v in values)
+    buf = np.frombuffer(b, dtype=np.uint64).copy()
+    lib.fr_to_mont_batch(_u64p(buf), len(values), _u64p(_R2_LIMBS))
+    return buf
+
+
+def _mont_buf_to_ints(buf, lib) -> list:
+    """Montgomery 4x64 limb buffer -> canonical ints (in-place demont)."""
+    lib.fr_from_mont_batch(_u64p(buf), len(buf) // 4)
+    b = buf.tobytes()
+    return [int.from_bytes(b[32 * i:32 * i + 32], "little")
+            for i in range(len(buf) // 4)]
 
 _params_cache: dict = {}
 
@@ -139,8 +164,10 @@ def _pack_params(params: PoseidonParams):
             fac = partial_round_factorization(params)
             qrow = np.array([l for row in fac.q_rows for v in row
                              for l in _mds320_limbs(v)], dtype=np.uint64)
+            # qcol in PLAIN Montgomery scale: the C++ column update uses
+            # one CIOS multiply per element (see poseidon.cpp OptFactors)
             qcol = np.array([l for row in fac.q_cols for v in row
-                             for l in _mds320_limbs(v)], dtype=np.uint64)
+                             for l in _mont_limbs(v)], dtype=np.uint64)
             mfin = np.array([l for row in fac.m_final for v in row
                              for l in _mds320_limbs(v)], dtype=np.uint64)
         except Exception:
@@ -172,14 +199,13 @@ def permute_ints_batch(states, params: PoseidonParams) -> list:
     assert lib is not None
     mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
     t = params.t
-    buf = np.array([l for st in states for v in st
-                    for l in _mont_limbs(v)], dtype=np.uint64)
+    buf = _ints_to_mont_buf([v for st in states for v in st], lib)
     lib.poseidon_permute_batch_opt(
         _u64p(buf), len(states), t, params.rf, params.rp,
         _u64p(mds), _u64p(rcf), _u64p(rcp),
         _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
-    return [[_from_mont_limbs(buf[(b * t + i) * 4:(b * t + i) * 4 + 4])
-             for i in range(t)] for b in range(len(states))]
+    flat = _mont_buf_to_ints(buf, lib)
+    return [flat[b * t:(b + 1) * t] for b in range(len(states))]
 
 
 def u32limbs_to_u64(arr) -> np.ndarray:
@@ -229,11 +255,10 @@ def hash_ds_dynamic_rows(rows, params: PoseidonParams) -> list:
     mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
     B = len(rows)
     nfields = len(rows[0])
-    buf = np.array([l for row in rows for v in row
-                    for l in _mont_limbs(v)], dtype=np.uint64)
+    buf = _ints_to_mont_buf([v for row in rows for v in row], lib)
     out = np.zeros(B * 4, dtype=np.uint64)
     lib.poseidon_hash_ds_dynamic_batch_opt(
         _u64p(buf), B, nfields, params.t, params.rf, params.rp,
         _u64p(mds), _u64p(rcf), _u64p(rcp), _u64p(_MONT_ONE), _u64p(out),
         _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
-    return [_from_mont_limbs(out[4 * i:4 * i + 4]) for i in range(B)]
+    return _mont_buf_to_ints(out, lib)

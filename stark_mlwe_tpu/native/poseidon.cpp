@@ -181,7 +181,9 @@ static inline void redc320(u64 *T /*10 limbs, in/out*/, u64 *out) {
 // MDS; ONE dense m_final lands after the last partial S-box.  Bit-exact.
 struct OptFactors {
   const u64 *qrow;   // (rp-1)*t*4, pre-scaled by 2^320
-  const u64 *qcol;   // (rp-1)*(t-1)*4, pre-scaled by 2^320
+  const u64 *qcol;   // (rp-1)*(t-1)*4, PLAIN Montgomery (2^256) scale:
+                     // the column update uses one CIOS multiply per
+                     // element instead of accumulate + extended REDC
   const u64 *mfinal; // t*t*4, pre-scaled by 2^320
 };
 
@@ -224,10 +226,8 @@ static void permute_one(u64 *state, int t, int rf, int rp, const u64 *mds,
       u64 new0[4];
       redc320(T, new0);
       for (int i = 1; i < t; ++i) {
-        u64 T2[10] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
-        acc_mul(qc + (size_t)(i - 1) * 4, cur, T2);
         u64 tmp[4];
-        redc320(T2, tmp);
+        fr_mul(qc + (size_t)(i - 1) * 4, cur, tmp);
         fr_add(cur + (size_t)i * 4, tmp, cur + (size_t)i * 4);
       }
       std::memcpy(cur, new0, 32);
@@ -454,6 +454,21 @@ void poseidon_absorb_chains(u64 *states, const u64 *fields, long C,
   poseidon_absorb_chains_opt(states, fields, C, nfields, pos_io, t, rf, rp,
                              mds, rc_full, rc_part, nullptr, nullptr,
                              nullptr);
+}
+
+// Batched domain conversion so the Python binding can ship canonical
+// little-endian limb dumps (int.to_bytes) instead of doing a bigint
+// modmul per value: to-mont multiplies by R^2 (passed in, Montgomery
+// form), from-mont multiplies by one.
+void fr_to_mont_batch(u64 *vals, long n, const u64 *r2) {
+  for (long i = 0; i < n; ++i) fr_mul(vals + (size_t)i * 4, r2,
+                                      vals + (size_t)i * 4);
+}
+
+void fr_from_mont_batch(u64 *vals, long n) {
+  static const u64 ONE[4] = {1, 0, 0, 0};
+  for (long i = 0; i < n; ++i) fr_mul(vals + (size_t)i * 4, ONE,
+                                      vals + (size_t)i * 4);
 }
 
 } // extern "C"
