@@ -40,20 +40,26 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def _plan(n: int, inverse: bool):
-    """(bit-reversal indices, per-stage twiddle device arrays [half,16])."""
+    """(bit-reversal indices, per-stage twiddle device arrays [half,16]).
+
+    Built under ensure_compile_time_eval so the cached arrays are always
+    CONCRETE: the first call may happen inside a vmap/shard_map trace
+    (e.g. parallel.build_ntt_sharded's step), and caching a tracer there
+    poisons every later trace (UnexpectedTracerError)."""
     assert n & (n - 1) == 0 and n > 1
     omega = get_root_of_unity(n)
     if inverse:
         omega = pow(omega, P - 2, P)
-    rev = jnp.asarray(_bit_reverse_perm(n))
-    tws = []
-    L = 2
-    while L <= n:
-        half = L // 2
-        w = pow(omega, n // L, P)
-        tws.append(jnp.asarray(fr.pack_ints(
-            [pow(w, j, P) for j in range(half)], mont=True)))
-        L *= 2
+    with jax.ensure_compile_time_eval():
+        rev = jnp.asarray(_bit_reverse_perm(n))
+        tws = []
+        L = 2
+        while L <= n:
+            half = L // 2
+            w = pow(omega, n // L, P)
+            tws.append(jnp.asarray(fr.pack_ints(
+                [pow(w, j, P) for j in range(half)], mont=True)))
+            L *= 2
     return rev, tuple(tws)
 
 
@@ -71,12 +77,23 @@ def _butterflies(x, tws):
     return x
 
 
-def ntt(x, inverse: bool = False):
+def ntt(x, inverse: bool = False, use_pallas: bool | None = None):
     """In-order radix-2 NTT of x: [n, 16] Montgomery.  With inverse=True
-    computes the inverse transform including the 1/n scale."""
+    computes the inverse transform including the 1/n scale.
+
+    On TPU, sizes in [2^12, 2^20] dispatch to the fused four-step Pallas
+    kernel (ops/ntt_pallas.py: all butterfly stages VMEM-resident, two
+    launches); `use_pallas` forces the route for cross-checking."""
     n = int(x.shape[0])
     if n == 1:
         return x
+    if use_pallas is not False:
+        from . import poseidon as dpos
+        if ((use_pallas or dpos._pallas_enabled())
+                and n >= 2 and (n & (n - 1)) == 0):
+            from . import ntt_pallas
+            if ntt_pallas.pallas_ntt_supported(n):
+                return ntt_pallas.ntt(x, inverse)
     rev, tws = _plan(n, inverse)
     x = jnp.take(x, rev, axis=0)
     x = _butterflies(x, tws)

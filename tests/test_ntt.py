@@ -101,3 +101,24 @@ def test_ntt_2e16_roundtrip():
     back = ntt.intt(ntt.ntt(x))
     import numpy as np
     assert np.array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_pallas_route_matches_xla_2e13():
+    """Fused four-step Pallas kernel vs the XLA stage-by-stage route
+    (ops/ntt_pallas.py); both in-order, forward and inverse.  On CPU the
+    Pallas path runs in interpret-free XLA lowering via use_pallas=True
+    only when supported; skip if the backend cannot lower it."""
+    import jax
+
+    n = 1 << 13
+    c = rand_elems(n)
+    x = dev(c)
+    want = ntt.ntt(x, use_pallas=False)
+    if jax.default_backend() != "tpu":
+        import pytest
+        pytest.skip("pallas NTT kernel route is TPU-only")
+    got = ntt.ntt(x, use_pallas=True)
+    import numpy as np
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    gi = ntt.ntt(got, inverse=True, use_pallas=True)
+    assert np.array_equal(np.asarray(gi), np.asarray(x))
