@@ -68,7 +68,7 @@ def _lane_elems(fn, t: int, C: int) -> np.ndarray:
 
 
 class ChainConsts:
-    __slots__ = ("rc_full", "rc_part", "qrow", "qcol", "idc", "dplane",
+    __slots__ = ("rc_full", "rc_part", "qrow", "qcol", "dplane",
                  "fplane", "prow", "rotmask", "headmask", "lane0mask",
                  "t", "C", "rf", "rp")
 
@@ -99,7 +99,6 @@ class ChainConsts:
             _lane_elems(lambda i, r=r: 0 if i == 0 else sc(fac.q_cols[r][i - 1]),
                         t, C)
             for r in range(rp - 1)])                         # [rp-1, 16, G]
-        self.idc = _lane_elems(lambda i: 0 if i == 0 else sc(1), t, C)
 
         # dense rotation planes: [t(d), 16(l'), G]; lane (c,i) holds
         # limb l' of M[i, (i+d) mod t] * 2^272
@@ -275,17 +274,38 @@ def _pow5_f(x):
     return _mul_f(x4, x)
 
 
-def _accum_const(cplane, s):
-    """Frame of cplane (*) s with limb-offset placement: cplane [16, G]
-    constant limbs (2^272-scaled), s [16, G] value -> [NFRAME, G]."""
+def _accum_pairs(terms):
+    """Frame of sum_j cplane_j (*) s_j with limb-offset placement:
+    terms = [(cplane [16, G] 2^272-scaled const limbs, s [16, G])]
+    -> [NFRAME, G].
+
+    Limbs run PAIRED and the cross-term sum over j is hoisted INSIDE the
+    pair: all j contributions for limbs (lp, lp+1) combine in one small
+    [18, G] frame (3 VPU tiles) and the expensive [NFRAME, G] roll+add
+    (5 tiles) lands once per pair per frame — vs once per (j, limb) in
+    the naive form.  Row magnitudes stay < len(terms) * 2^17 * 2, well
+    inside u32 for the relaxed-REDC carry chain.  Bit-exact: the total
+    frame is the same sum, just re-associated."""
     T = None
-    for lp in range(N):
-        prod = cplane[lp:lp + 1] * s                 # [16, G]
-        lo = prod & MASK
-        hi = prod >> BITS
-        upd = (_sub_roll(lo, NFRAME, lp) + _sub_roll(hi, NFRAME, lp + 1))
+    for lp in range(0, N, 2):
+        csum = None
+        for cplane, s in terms:
+            prod0 = cplane[lp:lp + 1] * s            # [16, G]
+            prod1 = cplane[lp + 1:lp + 2] * s
+            lo0 = prod0 & MASK
+            hi0 = prod0 >> BITS
+            lo1 = prod1 & MASK
+            hi1 = prod1 >> BITS
+            c = (_sub_roll(lo0, N + 2, 0) + _sub_roll(hi0 + lo1, N + 2, 1)
+                 + _sub_roll(hi1, N + 2, 2))
+            csum = c if csum is None else csum + c
+        upd = _sub_roll(csum, NFRAME, lp)
         T = upd if T is None else T + upd
     return T
+
+
+def _accum_const(cplane, s):
+    return _accum_pairs([(cplane, s)])
 
 
 def _group_reduce_heads(T, t: int):
@@ -332,12 +352,9 @@ def _permute_f(s, rf: int, rp: int, t: int):
     half = rf // 2
 
     def dense_apply(planes, rotm, x):
-        T = None
-        for d in range(t):
-            xd = _rotate_groups(x, d, t, rotm[d])
-            upd = _accum_const(planes[d], xd)
-            T = upd if T is None else T + upd
-        return _redc_f(T, fr.NRED_MAT)
+        terms = [(planes[d], _rotate_groups(x, d, t, rotm[d]))
+                 for d in range(t)]
+        return _redc_f(_accum_pairs(terms), fr.NRED_MAT)
 
     def full_round(r, s):
         rc = sc["rcf"][pl.ds(r, 1)][0]               # [16, G]
@@ -352,9 +369,12 @@ def _permute_f(s, rf: int, rp: int, t: int):
         qc = sc["qcol"][pl.ds(r, 1)][0]
         # row dot: group-reduce the lazy frame (heads valid)
         Tr = _group_reduce_heads(_accum_const(qr, x), t)
-        # column update: s_i + qcol_i * x0 (x0 broadcast from heads)
+        # column update: s_i + qcol_i * x0 (x0 broadcast from heads).
+        # The identity term x * 2^272 is ONE sublane roll to offset
+        # NRED_MAT (2^(16*17) placed exactly; REDC reduces mod P), not
+        # a 16-limb constant-plane accumulation.
         x0b = _head_broadcast(x, sc["headmask"])
-        Tc = _accum_const(qc, x0b) + _accum_const(sc["idc"], x)
+        Tc = _accum_const(qc, x0b) + _sub_roll(x, NFRAME, fr.NRED_MAT)
         # frames are lane-disjoint (Tr head lanes, Tc the rest) and REDC
         # is lane-wise: select once, pay ONE REDC instead of two
         Tm = jnp.where(sc["headmask"][0:1] != 0, Tr, Tc)
@@ -375,7 +395,7 @@ def _permute_f(s, rf: int, rp: int, t: int):
 # ---------------------------------------------------------------------------
 
 def _chain_kernel(rf, rp, t, rate, rcf_ref, rcp_ref, qrow_ref, qcol_ref,
-                  idc_ref, dpl_ref, fpl_ref, prow_ref, rotm_ref, hm_ref,
+                  dpl_ref, fpl_ref, prow_ref, rotm_ref, hm_ref,
                   l0_ref, init_ref, blocks_ref, state_ref):
     step = pl.program_id(0)
 
@@ -384,7 +404,7 @@ def _chain_kernel(rf, rp, t, rate, rcf_ref, rcp_ref, qrow_ref, qcol_ref,
         state_ref[:] = init_ref[:]
 
     vals = dict(rcf=rcf_ref, rcp=rcp_ref, qrow=qrow_ref, qcol=qcol_ref,
-                idc=idc_ref[:], dplane=dpl_ref[:], fplane=fpl_ref[:],
+                dplane=dpl_ref[:], fplane=fpl_ref[:],
                 prow=prow_ref[:], rotmask=rotm_ref[:],
                 headmask=hm_ref[:], lane0mask=l0_ref[:])
     with _scope(vals):
@@ -411,7 +431,7 @@ def absorb_chain_lanes(init_state, blocks, dp, interpret: bool = False):
         grid=(nb,),
         in_specs=[
             spec(cc.rc_full.shape), spec(cc.rc_part.shape),
-            spec(cc.qrow.shape), spec(cc.qcol.shape), spec(cc.idc.shape),
+            spec(cc.qrow.shape), spec(cc.qcol.shape),
             spec(cc.dplane.shape), spec(cc.fplane.shape),
             spec(cc.prow.shape), spec(cc.rotmask.shape),
             spec(cc.headmask.shape), spec(cc.lane0mask.shape),
@@ -425,7 +445,7 @@ def absorb_chain_lanes(init_state, blocks, dp, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(cc.rc_full), jnp.asarray(cc.rc_part),
-      jnp.asarray(cc.qrow), jnp.asarray(cc.qcol), jnp.asarray(cc.idc),
+      jnp.asarray(cc.qrow), jnp.asarray(cc.qcol),
       jnp.asarray(cc.dplane), jnp.asarray(cc.fplane),
       jnp.asarray(cc.prow), jnp.asarray(cc.rotmask),
       jnp.asarray(cc.headmask), jnp.asarray(cc.lane0mask),
