@@ -43,10 +43,11 @@ TB = 128  # lane-dim batch tile
 
 
 def pallas_supported(t: int) -> bool:
-    """t=129 is routed to the XLA path: its dense body register-spills
-    ~78 MB on top of the 68 MB MXU planes (spills are lane-padded, so a
-    narrower tile does not help), and its sponge batches are tiny
-    (arity-128 tree interiors only; leaves hash at t=17)."""
+    """t=129 is routed to the lane-major kernel in `poseidon_wide`: this
+    module's banded MXU planes grow as 2048*t^2 bytes (68 MB at t=129)
+    and its dense body register-spills ~78 MB on top (spills are
+    lane-padded, so a narrower tile does not help).  t=65 stays here:
+    the banded path measures ~38 us/perm vs the wide kernel's ~150."""
     return t < 129
 
 

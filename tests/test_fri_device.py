@@ -149,8 +149,8 @@ def test_e2e_64ary_proof_equals_spec():
 
 
 def test_e2e_128ary_proof_equals_spec():
-    """128-ary schedule (t=129 sponges — the width routed off Pallas —
-    with both full 128-child and partial tail groups)."""
+    """128-ary schedule (t=129 sponges — the lane-major wide Pallas
+    kernel on TPU — with both full 128-child and partial tail groups)."""
     n0 = 1024
     a, s, e, t = (rand_elems(n0) for _ in range(4))
     params = DeepFriParams(schedule=[128], r=6, seed_z=0xDEEF_BAAD)

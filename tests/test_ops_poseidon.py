@@ -24,7 +24,8 @@ def to_dev(xs, shape):
 @pytest.mark.parametrize("t", [9, 17, 33, 65, 129])
 def test_permute_matches_spec(t):
     """All five reference widths (poseidon/src/lib.rs:120-146), including
-    t=65 (Pallas dense-MXU body) and t=129 (XLA fallback route)."""
+    t=65 (banded Pallas dense-MXU body) and t=129 (lane-major wide
+    kernel, ops/poseidon_wide.py)."""
     params = spos.params_for_width(t)
     dp = dpos.device_params(params)
     B = 3 if t < 65 else 2

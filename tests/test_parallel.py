@@ -91,9 +91,9 @@ def test_sharded_step_matches_single_chip(n_dev):
 
 
 @pytest.mark.parametrize("n_dev,n1,n2", [
-    (2, 16, 16), (8, 16, 16),
-    pytest.param(8, 64, 64, marks=[] if HEAVY else pytest.mark.skip(
-        reason="large sharded NTT (STARK_TESTS_HEAVY=1)"))])
+    (2, 16, 16), (8, 16, 16), (2, 64, 64), (8, 64, 64),
+    pytest.param(8, 256, 256, marks=[] if HEAVY else pytest.mark.skip(
+        reason="2^16 sharded NTT (STARK_TESTS_HEAVY=1)"))])
 def test_ntt_sharded_matches_single_chip(n_dev, n1, n2):
     if len(jax.devices()) < n_dev:
         pytest.skip("not enough devices")
