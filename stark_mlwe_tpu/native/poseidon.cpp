@@ -48,32 +48,30 @@ static inline void fr_add(const u64 *a, const u64 *b, u64 *out) {
   if (carry || geq_p(out)) sub_p(out);
 }
 
-// CIOS Montgomery multiply (4x64): out = a*b*2^-256 mod p.
+// CIOS Montgomery multiply (4x64), "no-carry" form: out = a*b*2^-256 mod p.
+// Valid because p < 2^254 (top limb 2^62): the running value stays below
+// 2^64*p, so the 5th accumulator limb of classic CIOS never carries and
+// the interleaved multiply/reduce rows fold into two u128 chains per i
+// (the ark-ff/gnark optimization; ~25% fewer carry ops).
 static inline void fr_mul(const u64 *a, const u64 *b, u64 *out) {
-  u64 t[5] = {0, 0, 0, 0, 0};
+  u64 t[4] = {0, 0, 0, 0};
   for (int i = 0; i < 4; ++i) {
-    u128 c = 0;
-    for (int j = 0; j < 4; ++j) {
-      u128 cur = (u128)t[j] + (u128)a[i] * b[j] + c;
-      t[j] = (u64)cur;
-      c = cur >> 64;
-    }
-    u128 sum = (u128)t[4] + c;
-    t[4] = (u64)sum;
-    u64 t5 = (u64)(sum >> 64);
-
-    u64 m = t[0] * N0INV;
-    c = ((u128)t[0] + (u128)m * PL[0]) >> 64;
+    u128 v = (u128)t[0] + (u128)a[i] * b[0];
+    u64 A = (u64)(v >> 64);
+    u64 t0 = (u64)v;
+    u64 m = t0 * N0INV;
+    u128 w = (u128)t0 + (u128)m * PL[0];
+    u64 C = (u64)(w >> 64);
     for (int j = 1; j < 4; ++j) {
-      u128 cur = (u128)t[j] + (u128)m * PL[j] + c;
-      t[j - 1] = (u64)cur;
-      c = cur >> 64;
+      v = (u128)t[j] + (u128)a[i] * b[j] + A;
+      A = (u64)(v >> 64);
+      w = (u128)(u64)v + (u128)m * PL[j] + C;
+      C = (u64)(w >> 64);
+      t[j - 1] = (u64)w;
     }
-    sum = (u128)t[4] + c;
-    t[3] = (u64)sum;
-    t[4] = t5 + (u64)(sum >> 64);
+    t[3] = A + C;  // < 2^64: no-carry condition on p
   }
-  if (t[4] || geq_p(t)) sub_p(t);
+  if (geq_p(t)) sub_p(t);
   std::memcpy(out, t, 32);
 }
 
