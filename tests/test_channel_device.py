@@ -102,3 +102,38 @@ def test_mle_channel_roundtrip():
     vals_open, proof = mp.open_indices([1, 7, 20])
     assert mv.verify_openings([1, 7, 20], vals_open, proof)
     assert val == smle.MLE(vals).eval(r_p)
+
+
+def test_device_transcript_matches_spec_randomized():
+    """DeviceTranscript (transcript_dev.py) vs the golden Transcript over
+    randomized interleavings of byte absorbs, constant field absorbs,
+    device field absorbs and challenges - stresses permutation boundaries
+    at many rate offsets."""
+    import jax.numpy as jnp
+
+    from stark_mlwe_tpu.ops import fr
+    from stark_mlwe_tpu.transcript_dev import DeviceTranscript
+
+    r = random.Random(0xDE57)
+    for trial in range(3):
+        label = b"DT/TRIAL" + bytes([trial])
+        host = Transcript(label)
+        dev = DeviceTranscript(label)
+        for _ in range(25):
+            op = r.randrange(3)
+            if op == 0:
+                data = bytes(r.randrange(256) for _ in range(r.randrange(40)))
+                host.absorb_bytes(data)
+                dev.absorb_bytes(data)
+            elif op == 1:
+                x = r.randrange(P)
+                host.absorb_field(x)
+                dev.absorb_field_const(x)
+            else:
+                x = r.randrange(P)
+                host.absorb_field(x)
+                dev.absorb_field_dev(jnp.asarray(fr.pack_int(x, mont=True)))
+        lab = bytes([trial]) + b"/final"
+        want = host.challenge(lab)
+        got = fr.unpack_ints(dev.challenge_dev(lab)[None, :], mont=True)[0]
+        assert got == want
