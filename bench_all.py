@@ -6,7 +6,8 @@ Writes `benchmarkdata.csv` with the reference CSV schema
 timings, proof sizes and %-deltas vs the "paper" schedule, plus the plain
 and MF sum-check NIZK rows on stderr.
 
-Env: BENCH_KS="11,12,16" to restrict k values; BENCH_LABELS to restrict
+Env: BENCH_KS="11,12,16" to restrict k values; BENCH_K_HI to raise the
+k ceiling past the reference grid (default 19); BENCH_LABELS to restrict
 schedules; BENCH_NIZK=0 to skip the sum-check track.
 """
 
@@ -44,7 +45,8 @@ def main():
         for label, schedule in PRESETS:
             if labels_filter and label not in labels_filter:
                 continue
-            for k in ks_for_schedule(schedule):
+            k_hi = int(os.environ.get("BENCH_K_HI", "19"))
+            for k in ks_for_schedule(schedule, k_hi=k_hi):
                 if ks_filter and k not in ks_filter:
                     continue
                 res = run_mf_fri(label, k)
