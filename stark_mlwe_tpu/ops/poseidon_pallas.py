@@ -112,31 +112,51 @@ class _prow_scope:
 def _mul_bl(a, b):
     """Montgomery product, batch-last, with roll-based accumulation.
 
-    Phase 1 places each partial-product row block with a sublane roll
-    instead of 32 single-row adds; the 16-step REDC keeps a running carry
-    column so only whole [16, TB] blocks are ever added.
-    """
+    Limb steps run PAIRED (the poseidon_chain._mul_f structure, proven
+    bit-exact there): two limbs' lo/hi rows combine in a small
+    [..., 18, TB] cross-term block placed with cheap 1/2-row rolls, and
+    the expensive full-frame [..., 33, TB] roll+add lands once per pair
+    instead of twice per limb - the frame traffic that dominates this
+    kernel halves.  In the paired REDC, step i's frame contribution at
+    row i+1 (lo0[1] + hi0[0]) feeds step i+1 directly as scalar rows;
+    the double-add into the already-consumed rows i..i+1 of the frame is
+    harmless (they are never read again)."""
     a, b = jnp.broadcast_arrays(a, b)
     nT = 2 * N + 1
     T = None
-    for i in range(N):
-        prod = a[..., i:i + 1, :] * b          # [..., 16, TB]
-        lo = prod & MASK
-        hi = prod >> BITS
-        upd = _shift_rows(lo, nT, i) + _shift_rows(hi, nT, i + 1)
+    for i in range(0, N, 2):
+        prod0 = a[..., i:i + 1, :] * b          # [..., 16, TB]
+        prod1 = a[..., i + 1:i + 2, :] * b
+        lo0 = prod0 & MASK
+        hi0 = prod0 >> BITS
+        lo1 = prod1 & MASK
+        hi1 = prod1 >> BITS
+        c = (_shift_rows(lo0, N + 2, 0) + _shift_rows(hi0 + lo1, N + 2, 1)
+             + _shift_rows(hi1, N + 2, 2))
+        upd = _shift_rows(c, nT, i)
         T = upd if T is None else T + upd
-    # REDC: divide by 2^256
+    # REDC: divide by 2^256 (paired)
     p_row = _p_row()
     carry = jnp.zeros_like(T[..., 0:1, :])
-    for i in range(N):
-        vi = T[..., i:i + 1, :] + carry
-        ti = vi & MASK
-        m = (ti * jnp.uint32(fr.N0INV)) & MASK
-        prod = m * p_row                        # [..., 16, TB]
-        lo = prod & MASK
-        hi = prod >> BITS
-        T = T + _shift_rows(lo, nT, i) + _shift_rows(hi, nT, i + 1)
-        carry = (vi >> BITS) + ((ti + lo[..., 0:1, :]) >> BITS)
+    for i in range(0, N, 2):
+        vi0 = T[..., i:i + 1, :] + carry
+        ti0 = vi0 & MASK
+        m0 = (ti0 * jnp.uint32(fr.N0INV)) & MASK
+        prod0 = m0 * p_row                      # [..., 16, TB]
+        lo0 = prod0 & MASK
+        hi0 = prod0 >> BITS
+        carry = (vi0 >> BITS) + ((ti0 + lo0[..., 0:1, :]) >> BITS)
+        vi1 = (T[..., i + 1:i + 2, :] + lo0[..., 1:2, :]
+               + hi0[..., 0:1, :] + carry)
+        ti1 = vi1 & MASK
+        m1 = (ti1 * jnp.uint32(fr.N0INV)) & MASK
+        prod1 = m1 * p_row
+        lo1 = prod1 & MASK
+        hi1 = prod1 >> BITS
+        carry = (vi1 >> BITS) + ((ti1 + lo1[..., 0:1, :]) >> BITS)
+        c = (_shift_rows(lo0, N + 2, 0) + _shift_rows(hi0 + lo1, N + 2, 1)
+             + _shift_rows(hi1, N + 2, 2))
+        T = T + _shift_rows(c, nT, i)
     cols = [T[..., N + k:N + k + 1, :] for k in range(N + 1)]
     cols[0] = cols[0] + carry
     out, _ = fr._norm(cols)
@@ -152,21 +172,41 @@ def _pow5_bl(x):
 def _redc_frame(T, nred):
     """Roll-based extended REDC on a relaxed accumulator frame
     T [..., nT, TB] (each row < 2^26): divides by 2^(16*nred) mod P and
-    returns canonical [..., 16, TB].  Same per-step structure as
-    _mul_bl's REDC (one whole-row multiply by p_row + two rolls per
-    step) -- far fewer issue slots than the per-limb column REDC."""
+    returns canonical [..., 16, TB].
+
+    Steps run PAIRED like _mul_bl's REDC: the cross contributions
+    lo0[1] + hi0[0] feed step i+1 as scalar rows, so the full-frame
+    roll+add happens nred/2 times.  Carries stay in u32: vi1 <
+    2^26 + 2^17 + carry."""
     nT = T.shape[-2]
     p_row = _p_row()
     carry = jnp.zeros_like(T[..., 0:1, :])
-    for i in range(nred):
-        vi = T[..., i:i + 1, :] + carry
-        ti = vi & MASK
-        m = (ti * jnp.uint32(fr.N0INV)) & MASK
-        prod = m * p_row                        # [..., 16, TB]
-        lo = prod & MASK
-        hi = prod >> BITS
-        T = T + _shift_rows(lo, nT, i) + _shift_rows(hi, nT, i + 1)
-        carry = (vi >> BITS) + ((ti + lo[..., 0:1, :]) >> BITS)
+    i = 0
+    while i < nred:
+        vi0 = T[..., i:i + 1, :] + carry
+        ti0 = vi0 & MASK
+        m0 = (ti0 * jnp.uint32(fr.N0INV)) & MASK
+        prod0 = m0 * p_row                      # [..., 16, TB]
+        lo0 = prod0 & MASK
+        hi0 = prod0 >> BITS
+        carry = (vi0 >> BITS) + ((ti0 + lo0[..., 0:1, :]) >> BITS)
+        if i + 1 < nred:
+            vi1 = (T[..., i + 1:i + 2, :] + lo0[..., 1:2, :]
+                   + hi0[..., 0:1, :] + carry)
+            ti1 = vi1 & MASK
+            m1 = (ti1 * jnp.uint32(fr.N0INV)) & MASK
+            prod1 = m1 * p_row
+            lo1 = prod1 & MASK
+            hi1 = prod1 >> BITS
+            carry = (vi1 >> BITS) + ((ti1 + lo1[..., 0:1, :]) >> BITS)
+            c = (_shift_rows(lo0, N + 2, 0)
+                 + _shift_rows(hi0 + lo1, N + 2, 1)
+                 + _shift_rows(hi1, N + 2, 2))
+            T = T + _shift_rows(c, nT, i)
+            i += 2
+        else:
+            T = T + _shift_rows(lo0, nT, i) + _shift_rows(hi0, nT, i + 1)
+            i += 1
     cols = [T[..., nred + k:nred + k + 1, :] for k in range(N + 1)]
     cols[0] = cols[0] + carry
     out, _ = fr._norm(cols)
@@ -257,75 +297,53 @@ def _row_dot_bl(qrow, s):
     broadcast against the tiled state is legal), s [t, 16, TB] ->
     [1, 16, TB] = REDC(sum_j qrow[j] * s[j])."""
     nT = fr.NRED_MAT + N + 1
-    T = None
-    for l in range(N):
+
+    def lohi(l):
         prod = qrow[l] * s                        # [t,1,1]*[t,16,TB]
         # sums over j: <= t terms of < 2^16 -> < 2^21, int32-safe
         lo = (prod & MASK).astype(jnp.int32).sum(
             axis=0, keepdims=True).astype(U32)
         hi = (prod >> BITS).astype(jnp.int32).sum(
             axis=0, keepdims=True).astype(U32)
-        upd = _shift_rows(lo, nT, l) + _shift_rows(hi, nT, l + 1)
+        return lo, hi
+
+    T = None
+    for l in range(0, N, 2):
+        lo0, hi0 = lohi(l)
+        lo1, hi1 = lohi(l + 1)
+        c = (_shift_rows(lo0, N + 2, 0) + _shift_rows(hi0 + lo1, N + 2, 1)
+             + _shift_rows(hi1, N + 2, 2))
+        upd = _shift_rows(c, nT, l)
         T = upd if T is None else T + upd
     return _redc_frame(T, fr.NRED_MAT)
 
 
-def _col_update_bl(qcol, idrow, s_rest, x0):
+def _col_update_bl(qcol, s_rest, x0):
     """Column update: out_i = s_i + qcol[i] * x0 for lanes 1..t-1.
 
-    qcol [16, t-1, 1, 1] and idrow [16, 1, 1, 1] are limb-major
-    2^272-scaled constant limbs (idrow = limbs of 2^272 mod P so the
-    identity term rides the same extended REDC);
-    s_rest [t-1, 16, TB], x0 [1, 16, TB]."""
+    qcol [16, t-1, 1, 1] is limb-major 2^272-scaled constant limbs;
+    s_rest [t-1, 16, TB], x0 [1, 16, TB].  The identity term
+    s_rest * 2^272 is ONE sublane roll to offset NRED_MAT (2^(16*17)
+    placed exactly; the REDC reduces mod P), not a 16-limb
+    constant multiply."""
     nT = fr.NRED_MAT + N + 1
-    T = None
-    for l in range(N):
+
+    def lohi(l):
         pq = qcol[l] * x0                         # [t-1,1,1]*[1,16,TB]
-        pi = idrow[l] * s_rest                    # [1,1,1]*[t-1,16,TB]
-        lo = (pq & MASK) + (pi & MASK)            # < 2^17
-        hi = (pq >> BITS) + (pi >> BITS)
-        upd = _shift_rows(lo, nT, l) + _shift_rows(hi, nT, l + 1)
-        T = upd if T is None else T + upd
+        return pq & MASK, pq >> BITS
+
+    T = _shift_rows(s_rest, nT, fr.NRED_MAT)
+    for l in range(0, N, 2):
+        lo0, hi0 = lohi(l)                        # rows < 2^16
+        lo1, hi1 = lohi(l + 1)
+        c = (_shift_rows(lo0, N + 2, 0) + _shift_rows(hi0 + lo1, N + 2, 1)
+             + _shift_rows(hi1, N + 2, 2))
+        T = T + _shift_rows(c, nT, l)
     return _redc_frame(T, fr.NRED_MAT)
-
-
-_J_CHUNK = 1  # bound the 4-D MDS temporaries to fit scoped VMEM
-
-
-def _mat_bl(A, s):
-    """MDS apply: A [16, t, t, 1, 1] limb-major pre-expanded constants
-    (scaled by 2^272), s [t, 16, TB] -> [t, 16, TB]."""
-    t = s.shape[0]
-    nT = fr.NRED_MAT + N + 1
-    T = [None] * nT
-    for l in range(N):
-        lo = hi = None
-        for j0 in range(0, t, _J_CHUNK):
-            j1 = min(j0 + _J_CHUNK, t)
-            Alj = A[l, :, j0:j1]                  # [t, jc, 1, 1]
-            sj = jnp.expand_dims(s[j0:j1], 0)     # [1, jc, 16, TB]
-            prod = Alj * sj                       # [t, jc, 16, TB]
-            # Mosaic lacks unsigned reductions: sums fit in int32
-            # (lo/hi < 2^16, <= 17 terms -> < 2^21).
-            lo_c = (prod & MASK).astype(jnp.int32).sum(axis=1)
-            hi_c = (prod >> BITS).astype(jnp.int32).sum(axis=1)
-            lo = lo_c if lo is None else lo + lo_c
-            hi = hi_c if hi is None else hi + hi_c
-        lo = lo.astype(U32)                       # [t, 16, TB]
-        hi = hi.astype(U32)
-        for k in range(N):
-            lok = lo[..., k:k + 1, :]
-            hik = hi[..., k:k + 1, :]
-            T[l + k] = lok if T[l + k] is None else T[l + k] + lok
-            T[l + k + 1] = (hik if T[l + k + 1] is None
-                            else T[l + k + 1] + hik)
-    z = jnp.zeros_like(T[0])
-    T = [z if v is None else v for v in T]
-    return _cat_bl(fr._redc_cols(T, fr.NRED_MAT))
 
 
 def _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref, rcp_ref,
-                  qrow_ref, qcol_ref, idrow_ref, rf, rp):
+                  qrow_ref, qcol_ref, rf, rp):
     """The full permutation on a state value s [t, 16, TB].
 
     Round-constant arrays stay Refs (dynamic VMEM loads inside the
@@ -353,7 +371,7 @@ def _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref, rcp_ref,
         qcol = qcol_ref[pl.ds(r, 1)][0]           # [16, t-1, 1, 1]
         s_rest = s[1:]
         new0 = _row_dot_bl(qrow, jnp.concatenate([x0, s_rest], axis=0))
-        rest = _col_update_bl(qcol, idrow_ref[:], s_rest, x0)
+        rest = _col_update_bl(qcol, s_rest, x0)
         return jnp.concatenate([new0, rest], axis=0)
 
     s = jax.lax.fori_loop(0, half, full_round, s)
@@ -428,12 +446,10 @@ def _const_args(dp):
             # vector).
             qrow = np.stack([scaled_limbs(r).T for r in fac.q_rows])
             qcol = np.stack([scaled_limbs(c).T for c in fac.q_cols])
-            idrow = scaled_limbs([1]).T
             mflo, mfhi = mxu_mds_planes(fac.m_final, t)
             _mxu_cache[key] = (
                 wlo, whi, mflo, mfhi, rcf, rcp,
-                qrow[..., None, None], qcol[..., None, None],
-                idrow[..., None, None])
+                qrow[..., None, None], qcol[..., None, None])
     return tuple(jnp.asarray(a) for a in _mxu_cache[key])
 
 
@@ -460,18 +476,16 @@ def _const_specs(t, rf, rp):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rp - 1, N, t - 1, 1, 1), lambda i: (0, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((N, 1, 1, 1), lambda i: (0, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
     ]
 
 
 def _permute_kernel(rf, rp, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref,
-                    rcp_ref, qrow_ref, qcol_ref, idrow_ref, prow_ref,
+                    rcp_ref, qrow_ref, qcol_ref, prow_ref,
                     x_ref, o_ref):
     with _prow_scope(prow_ref):
         o_ref[:] = _permute_body(x_ref[:], wlo_ref, whi_ref, mflo_ref,
                                  mfhi_ref, rcf_ref, rcp_ref, qrow_ref,
-                                 qcol_ref, idrow_ref, rf, rp)
+                                 qcol_ref, rf, rp)
 
 
 def _permute_kernel_dense(rf, rp, wlo_ref, whi_ref, rcf_ref, rcp_ref,
@@ -530,7 +544,7 @@ def permute(states, dp, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, mflo_ref, mfhi_ref,
-                   rcf_ref, rcp_ref, qrow_ref, qcol_ref, idrow_ref,
+                   rcf_ref, rcp_ref, qrow_ref, qcol_ref,
                    prow_ref, init_ref, blocks_ref, state_ref):
     step = pl.program_id(0)
 
@@ -545,7 +559,7 @@ def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, mflo_ref, mfhi_ref,
         s = jnp.concatenate([absorbed, s[rate:]], axis=0)
         state_ref[:] = _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref,
                                      rcf_ref, rcp_ref, qrow_ref, qcol_ref,
-                                     idrow_ref, rf, rp)
+                                     rf, rp)
 
 
 def _absorb_kernel_dense(rf, rp, rate, wlo_ref, whi_ref, rcf_ref, rcp_ref,

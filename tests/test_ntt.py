@@ -122,3 +122,19 @@ def test_pallas_route_matches_xla_2e13():
     assert np.array_equal(np.asarray(got), np.asarray(want))
     gi = ntt.ntt(got, inverse=True, use_pallas=True)
     assert np.array_equal(np.asarray(gi), np.asarray(x))
+
+
+def test_pallas_ntt_interpret_matches_xla():
+    """Fused four-step Pallas NTT in interpret mode vs the XLA route at
+    the smallest supported size (n = 2^12: two 64-point kernel stages);
+    covers the paired-limb _mul_bl epilogue path on any backend."""
+    from stark_mlwe_tpu.ops import ntt_pallas
+
+    n = 1 << 12
+    c = rand_elems(n)
+    x = dev(c)
+    for inverse in (False, True):
+        want = ntt.ntt(x, inverse=inverse, use_pallas=False)
+        got = ntt_pallas.ntt(x, inverse=inverse, interpret=True)
+        import numpy as np
+        assert np.array_equal(np.asarray(got), np.asarray(want)), inverse
