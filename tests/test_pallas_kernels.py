@@ -17,6 +17,14 @@ from stark_mlwe_tpu.ops import poseidon_pallas as pp
 from stark_mlwe_tpu.spec import poseidon as spos
 from stark_mlwe_tpu.spec.field import P
 
+import os
+
+HEAVY = os.environ.get("STARK_TESTS_HEAVY", "0") not in ("", "0")
+
+
+def rand_elems(n):
+    return [rng.randrange(P) for _ in range(n)]
+
 rng = random.Random(0x9A11A5)
 
 
@@ -90,3 +98,25 @@ def test_chain_lanes_interpret_matches_spec():
                                  interpret=True)
     got = pch.unpack_lanes(out, t, C)
     assert got == want
+
+
+@pytest.mark.parametrize("t", [
+    pytest.param(65, marks=[] if HEAVY else pytest.mark.skip(
+        reason="~4 min interpret run (STARK_TESTS_HEAVY=1)")),
+    pytest.param(129, marks=[] if HEAVY else pytest.mark.skip(
+        reason="~5 min interpret run (STARK_TESTS_HEAVY=1)")),
+])
+def test_wide_permute_interpret_matches_spec(t):
+    """Lane-major wide kernel (ops/poseidon_wide.py) vs spec in interpret
+    mode - covers the high-magnitude (~2^30 frame rows) paired-REDC path
+    the banded tests never reach.  The TPU driver exercises the same
+    route on-device via test_ops_poseidon."""
+    from stark_mlwe_tpu.ops import poseidon_wide as pw
+
+    params = spos.params_for_width(t)
+    dp = dpos.device_params(params)
+    s = rand_elems(t)
+    dev = jnp.asarray(fr.pack_ints(s, mont=True)).reshape(1, t, fr.N)
+    out = pw.permute(dev, dp, interpret=True)
+    got = fr.unpack_ints(out.reshape(-1, fr.N), mont=True)
+    assert got == spos.permute(s, params)
