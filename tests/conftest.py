@@ -13,8 +13,16 @@ import os
 _platform = os.environ.get("STARK_TESTS_PLATFORM", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if (_platform == "cpu"
+        and "xla_cpu_parallel_codegen_split_count" not in _flags):
+    # XLA:CPU's parallel LLVM codegen has segfaulted sporadically inside
+    # backend_compile after ~50+ large compiles in one process (observed
+    # three times at different tests in full-suite runs on this image);
+    # serialising codegen removes the raced path.  CPU-only: irrelevant
+    # for the TPU backend.
+    _flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
