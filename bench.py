@@ -56,4 +56,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # pragma: no cover
+        if os.environ.get("STARK_MLWE_NO_PALLAS", "0") not in ("", "0"):
+            raise
+        # Self-heal: re-exec once on the XLA fallback path so a Pallas
+        # lowering regression on new hardware/toolchains degrades the
+        # number instead of zeroing the run.
+        print(f"# bench failed ({type(exc).__name__}: {exc}); retrying "
+              f"with STARK_MLWE_NO_PALLAS=1", file=sys.stderr)
+        env = dict(os.environ, STARK_MLWE_NO_PALLAS="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
