@@ -11,7 +11,7 @@ tests/test_poseidon_opt.py \
 tests/test_spec_merkle.py tests/test_spec_mle_deepali.py \
 tests/test_spec_fri.py tests/test_spec_channel.py \
 tests/test_bench_harness.py tests/test_poly_utils.py \
-tests/test_spec_kat.py tests/test_serde.py \
+tests/test_spec_kat.py tests/test_serde.py tests/test_native_ifma.py \
 tests/test_parallel.py tests/test_parallel_prover.py"
 
 DEV_FILES="tests/test_ops_fr.py tests/test_ops_poseidon.py \

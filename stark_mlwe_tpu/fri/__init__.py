@@ -245,9 +245,19 @@ class DeviceDeepAliRealBuilder:
             a, s, e, t = map(_as_mont_dev, (a, s, e, t))
         from ..ops import poseidon as dpos
         with phase_timer("ali/column_hashes"):
-            if (host_cols is not None and native.available()
-                    and not dpos._pallas_enabled()):
-                # no TPU kernel available: C++ absorb chains on host
+            # The sponge chain is latency-bound (one permutation per rate
+            # block, strictly sequential).  The host IFMA engine runs the
+            # 4 column chains in 4 AVX-512 lanes at ~120us/block vs
+            # ~210us/block for the TPU lane-parallel kernel, and saves
+            # the digest readback sync.  STARK_CHAIN=tpu|native overrides.
+            import os
+            pref = os.environ.get("STARK_CHAIN", "auto")
+            use_native = (host_cols is not None and native.available()
+                          and (pref == "native"
+                               or (pref == "auto"
+                                   and (native.ifma_available()
+                                        or not dpos._pallas_enabled()))))
+            if use_native and pref != "tpu":
                 ha, hs, he, ht = fs.tagged_hash_cols_native(tags, host_cols)
             else:
                 stacked = jnp.stack([a, s, e, t], axis=0)

@@ -250,12 +250,23 @@ def _next_pow2(x: int) -> int:
 _NATIVE_CUTOFF = 1024
 
 
+def _native_cutoff(t: int) -> int:
+    """Rows below this hash on the host (no device round trip).  The
+    AVX-512 IFMA engine runs 8 rows per instruction stream (~24us/perm at
+    t=17, ~520us at t=129 — 15-20x the scalar kernel), so its cutoff is
+    raised until the device's sync+launch latency wins again."""
+    from .. import native
+    if native.ifma_available():
+        return 8192 if t <= 33 else (2048 if t <= 65 else 1024)
+    return _NATIVE_CUTOFF
+
+
 def _hash_groups_ds(entries, arity, level, tree_label, params):
     """entries: list[(parent_idx, children_ints)] with equal child counts.
     Returns canonical digests.  Small batches run in the native C++
     kernel (no device round trip); large ones batch on device."""
     from .. import native
-    if native.available() and len(entries) <= _NATIVE_CUTOFF:
+    if native.available() and len(entries) <= _native_cutoff(params.t):
         rows = [[arity, level, pidx, tree_label] + list(children)
                 for pidx, children in entries]
         return native.hash_ds_dynamic_rows(rows, params)
@@ -383,7 +394,7 @@ def verify_pairs_ds(root, indices, pairs, proof, tree_label: int,
     ordered = [pair_map[i] for i in req]
     g = len(req)
     from .. import native
-    if native.available() and g <= _NATIVE_CUTOFF:
+    if native.available() and g <= _native_cutoff(params.t):
         rows = [[proof.arity, LEAF_LEVEL_DS, i, tree_label, f, cp]
                 for i, (f, cp) in zip(req, ordered)]
         leaves = native.hash_ds_dynamic_rows(rows, params)

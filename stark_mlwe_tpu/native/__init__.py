@@ -23,9 +23,13 @@ _R_INV = pow(_R, P - 2, P)
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "poseidon.cpp")
 _SO = os.path.join(_DIR, "libposeidon.so")
+_IFMA_SRC = os.path.join(_DIR, "poseidon_ifma.cpp")
+_IFMA_SO = os.path.join(_DIR, "libposeidon_ifma.so")
 
 _lib = None
 _load_failed = False
+_ifma_lib = None
+_ifma_failed = False
 
 
 def _build():
@@ -33,6 +37,57 @@ def _build():
         ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
          "-o", _SO, _SRC],
         check=True, capture_output=True)
+
+
+def _build_ifma():
+    # explicit ISA flags: the .so must COMPILE even on hosts where
+    # -march=native lacks AVX-512; ifma_cpu_supported() gates execution.
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-mavx512f", "-mavx512vl",
+         "-mavx512dq", "-mavx512ifma", "-shared", "-fPIC",
+         "-o", _IFMA_SO, _IFMA_SRC],
+        check=True, capture_output=True)
+
+
+def _get_ifma():
+    """The AVX-512 IFMA engine, or None (unsupported CPU / no compiler).
+
+    STARK_NO_IFMA=1 disables it (falls back to the scalar kernel)."""
+    global _ifma_lib, _ifma_failed
+    if _ifma_lib is not None or _ifma_failed:
+        return _ifma_lib
+    if os.environ.get("STARK_NO_IFMA"):
+        _ifma_failed = True
+        return None
+    try:
+        if (not os.path.exists(_IFMA_SO)
+                or os.path.getmtime(_IFMA_SO) < os.path.getmtime(_IFMA_SRC)):
+            _build_ifma()
+        lib = ctypes.CDLL(_IFMA_SO)
+        lib.ifma_cpu_supported.restype = ctypes.c_int
+        if not lib.ifma_cpu_supported():
+            _ifma_failed = True
+            return None
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.ifma_permute_batch.argtypes = [
+            u64p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u64p, u64p, u64p, u64p, u64p, u64p]
+        lib.ifma_hash_ds_batch.argtypes = [
+            u64p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u64p, u64p, u64p, u64p, u64p, u64p, u64p]
+        lib.ifma_absorb_chains.argtypes = [
+            u64p, u64p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u64p, u64p, u64p, u64p, u64p, u64p]
+        lib.ifma_absorb_chains.restype = ctypes.c_int
+        _ifma_lib = lib
+    except Exception:
+        _ifma_failed = True
+    return _ifma_lib
+
+
+def ifma_available() -> bool:
+    return _get_ifma() is not None
 
 
 def _get_lib():
@@ -176,6 +231,42 @@ def _pack_params(params: PoseidonParams):
     return _params_cache[key]
 
 
+_M52 = (1 << 52) - 1
+_S312 = pow(2, 312, P)   # lazy-dot constants: six 52-bit REDC rounds
+_S260 = pow(2, 260, P)   # mont52 domain (R52 = 2^260)
+
+_ifma_params_cache: dict = {}
+
+
+def _limbs52(vals, scale) -> np.ndarray:
+    out = np.empty(len(vals) * 5, dtype=np.uint64)
+    i = 0
+    for v in vals:
+        x = v * scale % P
+        for k in range(5):
+            out[i] = (x >> (52 * k)) & _M52
+            i += 1
+    return out
+
+
+def _pack_params_ifma(params: PoseidonParams):
+    """5x52-limb constant pack for the IFMA engine (see poseidon_ifma.cpp
+    for the scale conventions).  Requires the partial-round factorization
+    (always derivable for the reference widths)."""
+    key = id(params)
+    if key not in _ifma_params_cache:
+        from ..spec.poseidon_opt import partial_round_factorization
+        fac = partial_round_factorization(params)
+        mdsS = _limbs52([v for row in params.mds for v in row], _S312)
+        rcf = _limbs52([v for row in params.rc_full for v in row], _S260)
+        rcp = _limbs52(list(params.rc_partial), _S260)
+        qrowS = _limbs52([v for row in fac.q_rows for v in row], _S312)
+        qcol = _limbs52([v for row in fac.q_cols for v in row], _S260)
+        mfinS = _limbs52([v for row in fac.m_final for v in row], _S312)
+        _ifma_params_cache[key] = (mdsS, rcf, rcp, qrowS, qcol, mfinS)
+    return _ifma_params_cache[key]
+
+
 _NULL_U64P = ctypes.POINTER(ctypes.c_uint64)()
 
 
@@ -194,16 +285,24 @@ def permute_ints(state, params: PoseidonParams) -> list:
 
 
 def permute_ints_batch(states, params: PoseidonParams) -> list:
-    """B independent permutations in one native call."""
+    """B independent permutations in one native call (IFMA 8-lane engine
+    when the CPU supports it, scalar 4x64 otherwise)."""
     lib = _get_lib()
     assert lib is not None
-    mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
     t = params.t
     buf = _ints_to_mont_buf([v for st in states for v in st], lib)
-    lib.poseidon_permute_batch_opt(
-        _u64p(buf), len(states), t, params.rf, params.rp,
-        _u64p(mds), _u64p(rcf), _u64p(rcp),
-        _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
+    ilib = _get_ifma()
+    if ilib is not None:
+        packs = _pack_params_ifma(params)
+        ilib.ifma_permute_batch(
+            _u64p(buf), len(states), t, params.rf, params.rp,
+            *[_u64p(a) for a in packs])
+    else:
+        mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
+        lib.poseidon_permute_batch_opt(
+            _u64p(buf), len(states), t, params.rf, params.rp,
+            _u64p(mds), _u64p(rcf), _u64p(rcp),
+            _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
     flat = _mont_buf_to_ints(buf, lib)
     return [flat[b * t:(b + 1) * t] for b in range(len(states))]
 
@@ -220,16 +319,18 @@ def u32limbs_to_u64(arr) -> np.ndarray:
 
 
 def absorb_chains(states_ints, poss, cols_u64, params: PoseidonParams):
-    """C sequential sponge absorb chains in native threads.
+    """C sequential sponge absorb chains (transcript lazy-permute
+    semantics).  Routes to the IFMA lane-parallel engine when C <= 8 and
+    all cursors agree (the prover's witness-column case); scalar kernel
+    otherwise.
 
     states_ints: list[C] of t-length canonical int states; poss: list[C]
     cursor positions; cols_u64: [C, n, 4] uint64 Montgomery limb columns
     (from `u32limbs_to_u64` of mont-packed data).  Returns (new state int
-    lists, new positions) with transcript lazy-permute semantics.
+    lists, new positions).
     """
     lib = _get_lib()
     assert lib is not None
-    mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
     C = len(states_ints)
     t = params.t
     st = np.array([l for s in states_ints for v in s
@@ -237,11 +338,22 @@ def absorb_chains(states_ints, poss, cols_u64, params: PoseidonParams):
     pos = np.array(list(poss), dtype=np.int32)
     cols = np.ascontiguousarray(cols_u64, dtype=np.uint64)
     n = cols.shape[1]
-    lib.poseidon_absorb_chains_opt(
-        _u64p(st), _u64p(cols), C, n,
-        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        t, params.rf, params.rp, _u64p(mds), _u64p(rcf), _u64p(rcp),
-        _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
+    ilib = _get_ifma()
+    if (ilib is not None and C <= 8
+            and all(p == poss[0] for p in poss)):
+        packs = _pack_params_ifma(params)
+        new_pos = ilib.ifma_absorb_chains(
+            _u64p(st), _u64p(cols), C, n, int(poss[0]),
+            t, params.rf, params.rp, *[_u64p(a) for a in packs])
+        assert new_pos >= 0
+        pos[:] = new_pos
+    else:
+        mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
+        lib.poseidon_absorb_chains_opt(
+            _u64p(st), _u64p(cols), C, n,
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            t, params.rf, params.rp, _u64p(mds), _u64p(rcf), _u64p(rcp),
+            _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
     out_states = [[_from_mont_limbs(st[(c * t + i) * 4:(c * t + i) * 4 + 4])
                    for i in range(t)] for c in range(C)]
     return out_states, [int(p) for p in pos]
@@ -249,16 +361,24 @@ def absorb_chains(states_ints, poss, cols_u64, params: PoseidonParams):
 
 def hash_ds_dynamic_rows(rows, params: PoseidonParams) -> list:
     """Batch of `hash_with_ds_dynamic` calls: rows is a list of equal-length
-    field lists (DS preamble already prepended); returns digests."""
+    field lists (DS preamble already prepended); returns digests.  Runs 8
+    rows per instruction stream on the IFMA engine when available."""
     lib = _get_lib()
     assert lib is not None
-    mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
     B = len(rows)
     nfields = len(rows[0])
     buf = _ints_to_mont_buf([v for row in rows for v in row], lib)
     out = np.zeros(B * 4, dtype=np.uint64)
-    lib.poseidon_hash_ds_dynamic_batch_opt(
-        _u64p(buf), B, nfields, params.t, params.rf, params.rp,
-        _u64p(mds), _u64p(rcf), _u64p(rcp), _u64p(_MONT_ONE), _u64p(out),
-        _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
+    ilib = _get_ifma()
+    if ilib is not None:
+        packs = _pack_params_ifma(params)
+        ilib.ifma_hash_ds_batch(
+            _u64p(buf), B, nfields, params.t, params.rf, params.rp,
+            *[_u64p(a) for a in packs], _u64p(out))
+    else:
+        mds, rcf, rcp, qrow, qcol, mfin = _pack_params(params)
+        lib.poseidon_hash_ds_dynamic_batch_opt(
+            _u64p(buf), B, nfields, params.t, params.rf, params.rp,
+            _u64p(mds), _u64p(rcf), _u64p(rcp), _u64p(_MONT_ONE), _u64p(out),
+            _u64p_opt(qrow), _u64p_opt(qcol), _u64p_opt(mfin))
     return _mont_buf_to_ints(out, lib)
