@@ -247,9 +247,11 @@ class DeviceDeepAliRealBuilder:
         with phase_timer("ali/column_hashes"):
             # The sponge chain is latency-bound (one permutation per rate
             # block, strictly sequential).  The host IFMA engine runs the
-            # 4 column chains in 4 AVX-512 lanes at ~120us/block vs
-            # ~210us/block for the TPU lane-parallel kernel, and saves
-            # the digest readback sync.  STARK_CHAIN=tpu|native overrides.
+            # 4 column chains in duplicated-lane mode (two MDS rows / two
+            # q-columns / two S-boxes per vector, poseidon_ifma.cpp) at
+            # ~92us/block vs ~210us/block for the TPU lane-parallel
+            # kernel, and saves the digest readback sync.
+            # STARK_CHAIN=tpu|native overrides.
             import os
             pref = os.environ.get("STARK_CHAIN", "auto")
             use_native = (host_cols is not None and native.available()

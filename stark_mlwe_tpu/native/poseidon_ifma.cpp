@@ -234,15 +234,6 @@ static inline void store8(u64 *base, V idx, __mmask8 mask, const Fv &y0) {
                                  vadd(idx, bc((u64)j)), a[j], 8);
 }
 
-// ---------------------------------------------------------------------------
-// Permutation (8 lanes).  Mirrors poseidon.cpp permute_one exactly:
-// half full rounds, rp factorized partial rounds, dense m_final, half
-// full rounds.  Requires the factorization (qrowS/qcol52/mfinS non-null).
-// Constant scales: mdsS/qrowS/mfinS = value * 2^312 (for redc6);
-// rc_full52/rc_part52 = value * 2^260 (added to mont52 states);
-// qcol52 = value * 2^260 (mont52 multiplier).
-// ---------------------------------------------------------------------------
-
 struct IfmaParams {
   const u64 *mdsS;  // t*t*5
   const u64 *rcf;   // rf*t*5
@@ -251,6 +242,191 @@ struct IfmaParams {
   const u64 *qcol;  // (rp-1)*(t-1)*5
   const u64 *mfinS; // t*t*5
 };
+
+// ---------------------------------------------------------------------------
+// Duplicated-lane ("dup") mode: when only C <= 4 independent streams are
+// live (the prover's 4 witness absorb chains), the plain 8-lane layout
+// wastes the upper half of every vector.  Dup mode keeps the INVARIANT
+// lanes 4-7 == lanes 0-3 on every state vector and pairs two units of
+// work per instruction:
+//   - MDS / final-MDS rows i and i+1 accumulate in one dot with
+//     half-blended constant vectors (lanes 0-3 = row i, 4-7 = row i+1),
+//   - the partial-round column updates multiply two q-columns at once,
+//   - full-round S-boxes cube two state elements per pow5,
+//   - the partial-round q-row dot splits its j-range across the halves
+//     and folds with one cross-half add before REDC.
+// Results are unpacked back to duplicated form with vshufi64x2 (port 5,
+// overlapping the vpmadd52 port) so every value stays bit-identical to
+// the plain path.  Net: ~1.7x fewer vpmadd52 per permutation.
+// ---------------------------------------------------------------------------
+
+static inline V dup_lo(V x) { return _mm512_shuffle_i64x2(x, x, 0x44); }
+static inline V dup_hi(V x) { return _mm512_shuffle_i64x2(x, x, 0xEE); }
+
+// paired-constant dot: c5v is 5 full vectors (row i in lanes 0-3, row
+// i+1 in lanes 4-7), s is duplicated.
+static inline void dot_acc_v(V T[12], const u64 *c5v, const Fv &s) {
+  for (int p = 0; p < 5; ++p) {
+    V cp = _mm512_loadu_si512(c5v + 8 * p);
+    for (int q = 0; q < 5; ++q) {
+      T[p + q] = mlo(T[p + q], cp, s.l[q]);
+      T[p + q + 1] = mhi(T[p + q + 1], cp, s.l[q]);
+    }
+  }
+}
+
+// split-j dot: constants pair (j, j+hj); states blended on the fly.
+static inline void dot_acc_v2(V T[12], const u64 *c5v, const Fv &sa,
+                              const Fv &sb) {
+  for (int p = 0; p < 5; ++p) {
+    V cp = _mm512_loadu_si512(c5v + 8 * p);
+    for (int q = 0; q < 5; ++q) {
+      V s = _mm512_mask_blend_epi64(0xF0, sa.l[q], sb.l[q]);
+      T[p + q] = mlo(T[p + q], cp, s);
+      T[p + q + 1] = mhi(T[p + q + 1], cp, s);
+    }
+  }
+}
+
+static inline Fv mont_mul_cv(const u64 *c5v, const Fv &b) {
+  Fv c;
+  for (int k = 0; k < 5; ++k) c.l[k] = _mm512_loadu_si512(c5v + 8 * k);
+  return mont_mul(c, b);
+}
+
+static inline Fv add_const_v(const Fv &a, const u64 *c5v) {
+  V t[5];
+  for (int k = 0; k < 5; ++k)
+    t[k] = vadd(a.l[k], _mm512_loadu_si512(c5v + 8 * k));
+  return norm5(t);
+}
+
+// Paired constant tables (each entry: 5 vectors of 8 u64).
+struct DupTables {
+  std::vector<u64> mdsP, mfinP, rcfP, qcolP, qrowP;
+  int npr;  // row pairs (t+1)/2
+  int npc;  // column-update pairs (t-1)/2  (t odd for every width)
+  int hj;   // q-row split offset (t+1)/2
+};
+
+static void pair_into(std::vector<u64> &out, const u64 *a, const u64 *b) {
+  for (int p = 0; p < 5; ++p) {
+    for (int l = 0; l < 4; ++l) out.push_back(a[p]);
+    for (int l = 0; l < 4; ++l) out.push_back(b ? b[p] : 0);
+  }
+}
+
+static void build_dup_tables(DupTables &dt, int t, int rf, int rp,
+                             const IfmaParams &pp) {
+  dt.npr = (t + 1) / 2;
+  dt.npc = (t - 1) / 2;
+  dt.hj = (t + 1) / 2;
+  auto row = [&](const u64 *base, int i) { return base + (size_t)i * 5; };
+  // MDS + final MDS: [pair][j] with rows (2*pi, min(2*pi+1, t-1)).
+  for (int pi = 0; pi < dt.npr; ++pi) {
+    int i = 2 * pi, i2 = (2 * pi + 1 < t) ? 2 * pi + 1 : i;
+    for (int j = 0; j < t; ++j) {
+      pair_into(dt.mdsP, row(pp.mdsS, i * t + j), row(pp.mdsS, i2 * t + j));
+      pair_into(dt.mfinP, row(pp.mfinS, i * t + j),
+                row(pp.mfinS, i2 * t + j));
+    }
+  }
+  // full-round constants: [round][pair].
+  for (int r = 0; r < rf; ++r)
+    for (int pi = 0; pi < dt.npr; ++pi) {
+      int i = 2 * pi, i2 = (2 * pi + 1 < t) ? 2 * pi + 1 : i;
+      pair_into(dt.rcfP, row(pp.rcf, r * t + i), row(pp.rcf, r * t + i2));
+    }
+  // partial-round q-columns: [round][colpair] over t-1 columns.
+  for (int r = 0; r < rp - 1; ++r)
+    for (int pc = 0; pc < dt.npc; ++pc) {
+      int c = 2 * pc, c2 = 2 * pc + 1; // both < t-1 (t odd)
+      pair_into(dt.qcolP, row(pp.qcol, r * (t - 1) + c),
+                row(pp.qcol, r * (t - 1) + c2));
+    }
+  // partial-round q-row, split j-range: [round][jpair] pairing
+  // (j, j+hj); the tail element of an odd split gets a zero constant.
+  for (int r = 0; r < rp - 1; ++r)
+    for (int j = 0; j < dt.hj; ++j) {
+      int j2 = j + dt.hj;
+      pair_into(dt.qrowP, row(pp.qrowS, r * t + j),
+                j2 < t ? row(pp.qrowS, r * t + j2) : nullptr);
+    }
+}
+
+static void permute8_dup(Fv *st, Fv *tmp, int t, int rf, int rp,
+                         const IfmaParams &pp, const DupTables &dt) {
+  int half = rf / 2;
+  auto unpack_pair = [&](const Fv &r2, Fv *a, Fv *b) {
+    for (int k = 0; k < 5; ++k) a->l[k] = dup_lo(r2.l[k]);
+    if (b)
+      for (int k = 0; k < 5; ++k) b->l[k] = dup_hi(r2.l[k]);
+  };
+  auto mds_apply = [&](const std::vector<u64> &M) {
+    for (int pi = 0; pi < dt.npr; ++pi) {
+      V T[12];
+      for (int k = 0; k < 12; ++k) T[k] = vzero();
+      const u64 *base = M.data() + (size_t)pi * t * 40;
+      for (int j = 0; j < t; ++j) dot_acc_v(T, base + (size_t)j * 40, st[j]);
+      Fv r2 = redc6(T);
+      int i = 2 * pi, i2 = 2 * pi + 1;
+      unpack_pair(r2, &tmp[i], i2 < t ? &tmp[i2] : nullptr);
+    }
+    for (int i = 0; i < t; ++i) st[i] = tmp[i];
+  };
+  auto full_round = [&](int r) {
+    const u64 *rc = dt.rcfP.data() + (size_t)r * dt.npr * 40;
+    for (int pi = 0; pi < dt.npr; ++pi) {
+      int i = 2 * pi, i2 = (2 * pi + 1 < t) ? 2 * pi + 1 : i;
+      Fv x;
+      for (int k = 0; k < 5; ++k)
+        x.l[k] = _mm512_mask_blend_epi64(0xF0, st[i].l[k], st[i2].l[k]);
+      x = pow5(add_const_v(x, rc + (size_t)pi * 40));
+      unpack_pair(x, &st[i], 2 * pi + 1 < t ? &st[i2] : nullptr);
+    }
+    mds_apply(dt.mdsP);
+  };
+  for (int r = 0; r < half; ++r) full_round(r);
+  for (int r = 0; r < rp; ++r) {
+    st[0] = pow5(add_const(st[0], pp.rcp + (size_t)r * 5));
+    if (r == rp - 1) break;
+    // q-row dot with the j-range split across halves; one cross-half
+    // fold before REDC (T stays within the 6-round reduction bound:
+    // same total terms as the plain path).
+    V T[12];
+    for (int k = 0; k < 12; ++k) T[k] = vzero();
+    const u64 *qr = dt.qrowP.data() + (size_t)r * dt.hj * 40;
+    for (int j = 0; j < dt.hj; ++j) {
+      int j2 = j + dt.hj;
+      dot_acc_v2(T, qr + (size_t)j * 40, st[j], st[j2 < t ? j2 : 0]);
+    }
+    for (int k = 0; k < 12; ++k) T[k] = vadd(T[k], dup_hi(T[k]));
+    Fv new0 = redc6(T);
+    for (int k = 0; k < 5; ++k) new0.l[k] = dup_lo(new0.l[k]);
+    const u64 *qc = dt.qcolP.data() + (size_t)r * dt.npc * 40;
+    for (int pc = 0; pc < dt.npc; ++pc) {
+      Fv prod = mont_mul_cv(qc + (size_t)pc * 40, st[0]);
+      int i = 1 + 2 * pc, i2 = i + 1;
+      Fv plo, phi;
+      for (int k = 0; k < 5; ++k) plo.l[k] = dup_lo(prod.l[k]);
+      for (int k = 0; k < 5; ++k) phi.l[k] = dup_hi(prod.l[k]);
+      st[i] = cond_sub_2p(fadd(st[i], plo));
+      st[i2] = cond_sub_2p(fadd(st[i2], phi));
+    }
+    st[0] = new0;
+  }
+  mds_apply(dt.mfinP);
+  for (int r = half; r < rf; ++r) full_round(r);
+}
+
+// ---------------------------------------------------------------------------
+// Permutation (8 lanes).  Mirrors poseidon.cpp permute_one exactly:
+// half full rounds, rp factorized partial rounds, dense m_final, half
+// full rounds.  Requires the factorization (qrowS/qcol52/mfinS non-null).
+// Constant scales: mdsS/qrowS/mfinS = value * 2^312 (for redc6);
+// rc_full52/rc_part52 = value * 2^260 (added to mont52 states);
+// qcol52 = value * 2^260 (mont52 multiplier).
+// ---------------------------------------------------------------------------
 
 static void permute8(Fv *st, Fv *tmp, int t, int rf, int rp,
                      const IfmaParams &pp) {
@@ -380,30 +556,41 @@ int ifma_absorb_chains(u64 *states, const u64 *fields, long C, long n,
                        const u64 *qcol, const u64 *mfinS) {
   if (C > 8) return -1;
   IfmaParams pp{mdsS, rcf, rcp, qrowS, qcol, mfinS};
+  // C <= 4 with an odd width and the factorization present: duplicated-
+  // lane mode (see permute8_dup).  Loads replicate the chains into the
+  // upper half; stores write only the C live lanes.
+  bool dup = (C <= 4) && (t % 2 == 1) && qrowS && qcol && mfinS;
+  DupTables dt;
+  if (dup) build_dup_tables(dt, t, rf, rp, pp);
   int rate = t - 1;
   std::vector<Fv> st(t), tmp(t);
-  __mmask8 mask = (__mmask8)((1u << C) - 1);
-  long long soff[8];
-  for (int l = 0; l < 8; ++l)
-    soff[l] = ((l < C ? l : 0) * (long long)t) * 4;
+  __mmask8 smask = (__mmask8)((1u << C) - 1);
+  __mmask8 lmask = dup ? (__mmask8)0xFF : smask;
+  long long soff[8], foff[8];
+  for (int l = 0; l < 8; ++l) {
+    int c = dup ? ((l & 3) % (int)C) : (l < C ? l : 0);
+    soff[l] = (c * (long long)t) * 4;
+    foff[l] = (c * (long long)n) * 4;
+  }
   V sbase = _mm512_loadu_si512(soff);
-  for (int i = 0; i < t; ++i)
-    st[i] = load8(states, vadd(sbase, bc((u64)(i * 4))), mask);
-  long long foff[8];
-  for (int l = 0; l < 8; ++l)
-    foff[l] = ((l < C ? l : 0) * (long long)n) * 4;
   V fbase = _mm512_loadu_si512(foff);
+  for (int i = 0; i < t; ++i)
+    st[i] = load8(states, vadd(sbase, bc((u64)(i * 4))), lmask);
   int pos = pos_in;
   for (long i = 0; i < n; ++i) {
     if (pos == rate) {
-      permute8(st.data(), tmp.data(), t, rf, rp, pp);
+      if (dup)
+        permute8_dup(st.data(), tmp.data(), t, rf, rp, pp, dt);
+      else
+        permute8(st.data(), tmp.data(), t, rf, rp, pp);
       pos = 0;
     }
-    st[pos] = fadd(st[pos], load8(fields, vadd(fbase, bc((u64)(i * 4))), mask));
+    st[pos] =
+        fadd(st[pos], load8(fields, vadd(fbase, bc((u64)(i * 4))), lmask));
     ++pos;
   }
   for (int i = 0; i < t; ++i)
-    store8(states, vadd(sbase, bc((u64)(i * 4))), mask, st[i]);
+    store8(states, vadd(sbase, bc((u64)(i * 4))), smask, st[i]);
   return pos;
 }
 
