@@ -65,16 +65,25 @@ def main():
                 f.flush()
 
     if os.environ.get("BENCH_NIZK", "1") != "0":
-        for k in sorted(ks_filter or {12, 14, 16}):
-            r = run_plain_nizk(k)
-            print(f"# e2e_plain k={k}: prove={r['prove_s']:.3f}s "
-                  f"verify={r['verify_ms']:.2f}ms bytes={r['proof_bytes']}",
-                  file=sys.stderr)
-        for k in sorted((ks_filter or {12, 14}) & {12, 14} or {12, 14}):
-            r = run_mf_nizk(k)
-            print(f"# e2e_mf k={k}: prove={r['prove_s']:.3f}s "
-                  f"verify={r['verify_ms']:.2f}ms bytes={r['proof_bytes']}",
-                  file=sys.stderr)
+        # Sum-check NIZK rows (end_to_end.rs:130-172, protocol.rs:176-273)
+        # appended to the same CSV artifact so every BASELINE.md row has a
+        # recorded counterpart:
+        #   nizk,<variant>,<k>,<proof_bytes>,<prove_s>,<verify_ms>
+        with open(out_path, "a") as f:
+            for k in sorted(ks_filter or {12, 14, 16}):
+                r = run_plain_nizk(k)
+                line = (f"nizk,plain,{k},{r['proof_bytes']},"
+                        f"{r['prove_s']:.6f},{r['verify_ms']:.3f}")
+                print(line, flush=True)
+                f.write(line + "\n")
+                f.flush()
+            for k in sorted((ks_filter or {12, 14}) & {12, 14} or {12, 14}):
+                r = run_mf_nizk(k)
+                line = (f"nizk,mf,{k},{r['proof_bytes']},"
+                        f"{r['prove_s']:.6f},{r['verify_ms']:.3f}")
+                print(line, flush=True)
+                f.write(line + "\n")
+                f.flush()
 
 
 if __name__ == "__main__":

@@ -29,9 +29,18 @@ import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
+_OUT = os.environ.get("MICRO_OUT", "microbench.json")
+_LINES: list = []
+
+
 def emit(metric, value, unit, vs=None):
-    print(json.dumps({"metric": metric, "value": round(value, 6),
-                      "unit": unit, "vs_baseline": vs}))
+    line = json.dumps({"metric": metric, "value": round(value, 6),
+                       "unit": unit, "vs_baseline": vs})
+    print(line, flush=True)
+    _LINES.append(line)
+    if _OUT:  # incremental: partial runs persist
+        with open(_OUT, "w") as f:
+            f.write("\n".join(_LINES) + "\n")
 
 
 def sync(x):

@@ -84,10 +84,7 @@ def gen_witness(k: int, seed: int):
     (end_to_end.rs:249-253)."""
     n0 = 1 << k
     rng = StdRng.seed_from_u64(seed)
-    cols = []
-    for _ in range(4):
-        cols.append([rng.ark_fr_rand() for _ in range(n0)])
-    return cols
+    return [rng.ark_fr_rand_batch(n0) for _ in range(4)]
 
 
 CSV_HEADER = ("csv,label,k,schedule,proof_bytes,prove_s,verify_ms,"

@@ -110,13 +110,22 @@ class GatherBatch:
 # Device folds.
 # ---------------------------------------------------------------------------
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _fold_matrix_dev(z: int, m: int):
+    """Device-resident z-power contraction row (constant per (z, m) -
+    z_ell depends only on (seed_z, ell, n_ell), fri.rs:59-82)."""
+    return jnp.asarray(fr.mat_scale([[pow(z, t, P) for t in range(m)]]))
+
+
 def fold_layer_dev(f_dev, z: int, m: int):
     """m-ary fold f'(b) = sum_t f[b*m+t] z^t (fri.rs:85-102) as one fused
     constant-row contraction."""
     n = int(f_dev.shape[0])
     assert m >= 2 and n % m == 0
-    zrow = [[pow(z, t, P) for t in range(m)]]
-    A = jnp.asarray(fr.mat_scale(zrow))
+    A = _fold_matrix_dev(z, m)
     out = fr.mat_apply(A, f_dev.reshape(n // m, m, fr.N))
     return out[:, 0, :]
 
@@ -305,19 +314,23 @@ def _index_from_seed(seed_f: int, n_pow2: int) -> int:
 
 
 def derive_query_indices_batched(roots_seed: int, schedule, r: int, sizes):
-    """All (layer, query) indices with the per-(l,q) seed hashes and the
-    rare reseed fallbacks batched into single device calls.  Bit-exact
-    with spec.fri.derive_query_index (fri.rs:374-382)."""
+    """All (layer, query) indices with the per-(l,q) seed hashes, the
+    ChaCha12 first-u64 draws AND the rare reseed fallbacks batched into
+    single device/vector calls.  Bit-exact with
+    spec.fri.derive_query_index (fri.rs:374-382)."""
+    from ..spec.rng import chacha_first_u64_batch
+
     L = len(schedule)
     pairs = [(ell, q) for ell in range(L) for q in range(r)]
     seeds = fs.one_block_tagged_hash_batch(
         b"FRI/index", [[roots_seed, ell % P, q % P] for ell, q in pairs])
+    draws = chacha_first_u64_batch([fr_to_bytes(s) for s in seeds])
     out = {}
     retry = []
-    for (ell, q), seed in zip(pairs, seeds):
+    for (ell, q), seed, u in zip(pairs, seeds, draws):
         n = sizes[ell]
         n_pow2 = 1 << (n - 1).bit_length() if n > 1 else 1
-        i0 = _index_from_seed(seed, n_pow2)
+        i0 = u & (n_pow2 - 1)
         if i0 < n:
             out[(ell, q)] = i0
         else:
@@ -325,8 +338,9 @@ def derive_query_indices_batched(roots_seed: int, schedule, r: int, sizes):
     if retry:
         reseeds = fs.one_block_tagged_hash_batch(
             b"FRI/index", [[seed, 1] for _, seed, _, _ in retry])
-        for ((ell, q), _, n, n_pow2), rs in zip(retry, reseeds):
-            i2 = _index_from_seed(rs, n_pow2)
+        redraws = chacha_first_u64_batch([fr_to_bytes(s) for s in reseeds])
+        for ((ell, q), _, n, n_pow2), u2 in zip(retry, redraws):
+            i2 = u2 & (n_pow2 - 1)
             out[(ell, q)] = i2 if i2 < n else i2 & (n - 1)
     return out
 

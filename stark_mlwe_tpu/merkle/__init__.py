@@ -63,6 +63,24 @@ def _hash_level_ds(ds_rows, chunks, dp):
     return dpos.sponge_hash_ds_dynamic(ds_rows, chunks, dp)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _ds_rows_dev(arity: int, level: int, g: int, tree_label: int):
+    """Device-resident DS preamble for positions 0..g-1 (identical for
+    every prove at the same shape - cached to skip the per-call numpy
+    build + host->device upload)."""
+    return jnp.asarray(ds_rows_mont(
+        arity, level, np.arange(g, dtype=np.uint64), tree_label))
+
+
+@lru_cache(maxsize=None)
+def _ds_row_dev(arity: int, level: int, position: int, tree_label: int):
+    return jnp.asarray(ds_rows_mont(
+        arity, level, np.array([position], np.uint64), tree_label))
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _hash_level_legacy(chunks, ds_tag_mont, dp):
     return dpos.sponge_hash_ds_legacy(chunks, ds_tag_mont, dp)
@@ -173,13 +191,11 @@ def build_tree(leaves_mont, cfg: MerkleChannelCfg) -> DeviceMerkleTree:
         full = n // arity
         outs = []
         if full:
-            ds = ds_rows_mont(arity, level, np.arange(full, dtype=np.uint64),
-                              cfg.tree_label)
+            ds = _ds_rows_dev(arity, level, full, cfg.tree_label)
             chunks = cur[:full * arity].reshape(full, arity, fr.N)
             outs.append(_hash_level_ds(ds, chunks, dp))
         if n % arity:
-            ds = ds_rows_mont(arity, level, np.array([full], np.uint64),
-                              cfg.tree_label)
+            ds = _ds_row_dev(arity, level, full, cfg.tree_label)
             chunk = cur[full * arity:].reshape(1, n - full * arity, fr.N)
             outs.append(_hash_level_ds(ds, chunk, dp))
         cur = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -193,8 +209,7 @@ def hash_pair_leaves(f_mont, cp_mont, cfg: MerkleChannelCfg):
     (merkle/src/lib.rs:378-388), batched."""
     n = int(f_mont.shape[0])
     dp = dpos.device_params(cfg.params)
-    ds = ds_rows_mont(cfg.arity, LEAF_LEVEL_DS,
-                      np.arange(n, dtype=np.uint64), cfg.tree_label)
+    ds = _ds_rows_dev(cfg.arity, LEAF_LEVEL_DS, n, cfg.tree_label)
     inputs = jnp.stack([f_mont, cp_mont], axis=1)
     return _hash_level_ds(ds, inputs, dp)
 

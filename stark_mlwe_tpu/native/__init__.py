@@ -308,14 +308,14 @@ def permute_ints_batch(states, params: PoseidonParams) -> list:
 
 
 def u32limbs_to_u64(arr) -> np.ndarray:
-    """[n,16] uint32 16-bit limbs -> [n,4] uint64 limbs (pure numpy)."""
-    a = np.asarray(arr, dtype=np.uint64).reshape(-1, 16)
-    out = np.zeros((a.shape[0], 4), dtype=np.uint64)
-    for j in range(4):
-        out[:, j] = (a[:, 4 * j] | (a[:, 4 * j + 1] << np.uint64(16))
-                     | (a[:, 4 * j + 2] << np.uint64(32))
-                     | (a[:, 4 * j + 3] << np.uint64(48)))
-    return out
+    """[n,16] uint32 16-bit limbs -> [n,4] uint64 limbs (pure numpy).
+
+    The limbs are 16-bit values stored one-per-u32, so the conversion is
+    a narrowing view-and-repack: 16 LE u16 == 4 LE u64 (one pass; the old
+    shift/or loop was ~45 ms per witness column at k=16)."""
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32).reshape(-1, 16))
+    b = a.astype("<u2").tobytes()
+    return np.frombuffer(b, dtype="<u8").reshape(-1, 4).copy()
 
 
 def absorb_chains(states_ints, poss, cols_u64, params: PoseidonParams):

@@ -223,3 +223,54 @@ def test_fr_from_hash_golden():
     golden = int.from_bytes(
         blake3_digest(b"KAT/tag" + b"KAT-data"), "little") % P
     assert v == golden
+
+
+# ---------------------------------------------------------------------------
+# Vectorized ChaCha12 fast paths == scalar golden model.
+# ---------------------------------------------------------------------------
+
+def test_chacha_blocks_np_matches_scalar():
+    import numpy as np
+
+    from stark_mlwe_tpu.spec.rng import _chacha_block, _chacha_blocks_np
+
+    keys = [[(i * 0x9E3779B9 + j * 0x7F4A7C15) & 0xFFFFFFFF
+             for j in range(8)] for i in range(5)]
+    counters = [0, 1, 2, 0xFFFFFFFF, 0x1_0000_0001]
+    got = _chacha_blocks_np(np.array(keys, np.uint32),
+                            np.array(counters, np.uint64))
+    for i, (k, c) in enumerate(zip(keys, counters)):
+        assert [int(x) for x in got[i]] == _chacha_block(k, c, 12)
+
+
+def test_chacha_first_u64_batch_matches_from_seed():
+    import random
+
+    from stark_mlwe_tpu.spec.rng import StdRng, chacha_first_u64_batch
+
+    r = random.Random(7)
+    seeds = [bytes(r.randrange(256) for _ in range(32)) for _ in range(9)]
+    got = chacha_first_u64_batch(seeds)
+    want = [StdRng.from_seed(s).gen_u64() for s in seeds]
+    assert got == want
+
+
+@pytest.mark.parametrize("n,pre", [(1, 0), (7, 0), (64, 0), (65, 0),
+                                   (300, 0), (7, 2), (64, 6), (129, 30)])
+def test_ark_fr_rand_batch_matches_scalar(n, pre):
+    """Batch draws == sequential draws, INCLUDING the post-batch RNG
+    state (`pre` leading gen_u64 calls offset the entry index)."""
+    from stark_mlwe_tpu.spec.rng import StdRng
+
+    a = StdRng.seed_from_u64(0xC0FFEE + n + pre)
+    b = StdRng.seed_from_u64(0xC0FFEE + n + pre)
+    for _ in range(pre):
+        a.gen_u64()
+        b.gen_u64()
+    got = a.ark_fr_rand_batch(n)
+    want = [b.ark_fr_rand() for _ in range(n)]
+    assert got == want
+    # state restored exactly: continued draws agree across kinds
+    assert a.gen_u64() == b.gen_u64()
+    assert a.ark_fr_rand() == b.ark_fr_rand()
+    assert [a.gen_u32() for _ in range(70)] == [b.gen_u32() for _ in range(70)]
