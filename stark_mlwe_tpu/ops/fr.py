@@ -79,7 +79,21 @@ R2 = jnp.array(_limbs_of(R2_MONT), dtype=U32)
 # ---------------------------------------------------------------------------
 
 def pack_ints(xs, mont: bool = False) -> np.ndarray:
-    """Canonical ints -> [n, 16] uint32 limbs (optionally Montgomery form)."""
+    """Canonical ints -> [n, 16] uint32 limbs (optionally Montgomery form).
+
+    The Montgomery scale (x * 2^256 mod P per element) runs in the native
+    C++ kernel for large batches — the per-element Python modmul was
+    ~2 us/value and dominated witness packing at k >= 16."""
+    if mont and len(xs) >= 1024:
+        from .. import native
+        if native.available():
+            lib = native._get_lib()
+            buf = b"".join(int(x % P).to_bytes(32, "little") for x in xs)
+            arr = np.frombuffer(buf, dtype=np.uint64).copy()
+            lib.fr_to_mont_batch(native._u64p(arr), len(xs),
+                                 native._u64p(native._R2_LIMBS))
+            a = np.frombuffer(arr.tobytes(), dtype="<u2").reshape(len(xs), N)
+            return a.astype(np.uint32)
     if mont:
         xs = [x * R_MONT % P for x in xs]
     buf = b"".join(int(x % P).to_bytes(32, "little") for x in xs)

@@ -77,13 +77,61 @@ def _butterflies(x, tws):
     return x
 
 
+# Per-size health of the fused Pallas route: some toolchains spill the
+# n1=1024 tile kernel out of VMEM (seen at n=2^20 on v5e libtpu 2026-08);
+# the first eager call probes with a blocking execute and a failure pins
+# the size to the XLA butterfly path for the rest of the process.
+_pallas_size_ok: dict = {}
+
+
+def _pallas_route(x, n: int, inverse: bool):
+    from . import ntt_pallas
+
+    ok = _pallas_size_ok.get(n)
+    if ok is False:
+        return None
+    if ok:
+        return ntt_pallas.ntt(x, inverse)
+    if isinstance(x, jax.core.Tracer):
+        return None  # probing needs an eager call; stay on the XLA path
+    try:
+        out = jax.block_until_ready(ntt_pallas.ntt(x, inverse))
+        _pallas_size_ok[n] = True
+        return out
+    except Exception:
+        _pallas_size_ok[n] = False
+        return None
+
+
+@lru_cache(maxsize=None)
+def _xla_ntt_jit(n: int, inverse: bool):
+    """Whole-transform jit of the XLA butterfly path: one fused program
+    instead of ~log2(n) eagerly dispatched stage graphs (the eager route
+    measured ~200-400 ms of dispatch overhead at every size)."""
+    rev, tws = _plan(n, inverse)
+    if inverse:
+        n_inv = pow(n % P, P - 2, P)
+        with jax.ensure_compile_time_eval():
+            scale = jnp.asarray(fr.pack_int(n_inv, mont=True))[None, :]
+
+    def fn(x):
+        x = jnp.take(x, rev, axis=0)
+        x = _butterflies(x, tws)
+        if inverse:
+            return fr.mont_mul(x, scale)
+        return x
+
+    return jax.jit(fn)
+
+
 def ntt(x, inverse: bool = False, use_pallas: bool | None = None):
     """In-order radix-2 NTT of x: [n, 16] Montgomery.  With inverse=True
     computes the inverse transform including the 1/n scale.
 
-    On TPU, sizes in [2^12, 2^20] dispatch to the fused four-step Pallas
+    On TPU, sizes in [2^12, 2^18] dispatch to the fused four-step Pallas
     kernel (ops/ntt_pallas.py: all butterfly stages VMEM-resident, two
-    launches); `use_pallas` forces the route for cross-checking."""
+    launches) with a self-healing fallback to the jitted XLA butterflies;
+    `use_pallas` forces the route for cross-checking."""
     n = int(x.shape[0])
     if n == 1:
         return x
@@ -93,14 +141,22 @@ def ntt(x, inverse: bool = False, use_pallas: bool | None = None):
                 and n >= 2 and (n & (n - 1)) == 0):
             from . import ntt_pallas
             if ntt_pallas.pallas_ntt_supported(n):
-                return ntt_pallas.ntt(x, inverse)
-    rev, tws = _plan(n, inverse)
-    x = jnp.take(x, rev, axis=0)
-    x = _butterflies(x, tws)
-    if inverse:
-        n_inv = pow(n % P, P - 2, P)
-        x = fr.mont_mul(x, jnp.asarray(fr.pack_int(n_inv, mont=True))[None, :])
-    return x
+                if use_pallas:  # forced: no fallback (kernel cross-checks)
+                    return ntt_pallas.ntt(x, inverse)
+                out = _pallas_route(x, n, inverse)
+                if out is not None:
+                    return out
+    if isinstance(x, jax.core.Tracer):
+        # inside an outer trace (vmap/shard_map four-step): inline the ops
+        rev, tws = _plan(n, inverse)
+        x = jnp.take(x, rev, axis=0)
+        x = _butterflies(x, tws)
+        if inverse:
+            n_inv = pow(n % P, P - 2, P)
+            x = fr.mont_mul(
+                x, jnp.asarray(fr.pack_int(n_inv, mont=True))[None, :])
+        return x
+    return _xla_ntt_jit(n, inverse)(x)
 
 
 def intt(x):

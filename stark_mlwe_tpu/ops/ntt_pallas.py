@@ -41,7 +41,12 @@ from .poseidon_pallas import (P_ROW_NP, _add_bl, _cat_bl, _cols_bl, _mul_bl,
 TB = 128
 L_MAX = 1024           # transform length per kernel (VMEM-bound)
 N_MIN = 1 << 12        # below this the XLA path wins (launch overhead)
-N_MAX = 1 << 20        # four-step with n1, n2 <= L_MAX
+# Four-step supports n1, n2 <= L_MAX (2^20), but the n1=1024-tile body
+# register-spills ~132 MB past VMEM on current v5e toolchains (measured
+# 2026-08: libtpu AOT "Ran out of memory in memory space vmem"), so the
+# route caps at 2^18; ops/ntt.py self-heals to the jitted XLA butterflies
+# above it (and on any future toolchain where this kernel fails).
+N_MAX = 1 << 18
 
 
 def _sub_bl(a, b):
