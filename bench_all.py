@@ -3,8 +3,9 @@
 
 Writes `benchmarkdata.csv` with the reference CSV schema
 (end_to_end.rs:41-59): one row per (schedule label, k) with prove/verify
-timings, proof sizes and %-deltas vs the "paper" schedule, plus the plain
-and MF sum-check NIZK rows on stderr.
+timings, proof sizes and %-deltas vs the "paper" schedule.  The plain and
+MF sum-check NIZK rows (a different column schema) go to a separate
+artifact `benchmarkdata_nizk.csv`.
 
 Env: BENCH_KS="11,12,16" to restrict k values; BENCH_K_HI to raise the
 k ceiling past the reference grid (default 19); BENCH_LABELS to restrict
@@ -66,10 +67,13 @@ def main():
 
     if os.environ.get("BENCH_NIZK", "1") != "0":
         # Sum-check NIZK rows (end_to_end.rs:130-172, protocol.rs:176-273)
-        # appended to the same CSV artifact so every BASELINE.md row has a
-        # recorded counterpart:
-        #   nizk,<variant>,<k>,<proof_bytes>,<prove_s>,<verify_ms>
-        with open(out_path, "a") as f:
+        # in their own artifact (their schema differs from CSV_HEADER, so
+        # mixing them into benchmarkdata.csv would break column parsers).
+        nizk_path = os.environ.get(
+            "BENCH_NIZK_CSV",
+            os.path.splitext(out_path)[0] + "_nizk.csv")
+        with open(nizk_path, "w") as f:
+            f.write("nizk,variant,k,proof_bytes,prove_s,verify_ms\n")
             for k in sorted(ks_filter or {12, 14, 16}):
                 r = run_plain_nizk(k)
                 line = (f"nizk,plain,{k},{r['proof_bytes']},"

@@ -113,10 +113,15 @@ class GatherBatch:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=256)
 def _fold_matrix_dev(z: int, m: int):
     """Device-resident z-power contraction row (constant per (z, m) -
-    z_ell depends only on (seed_z, ell, n_ell), fri.rs:59-82)."""
+    z_ell depends only on (seed_z, ell, n_ell), fri.rs:59-82).
+
+    Bounded: z is a fresh Fiat-Shamir challenge per proof per layer, so
+    in a long-running prover hits only occur when the exact transcript
+    is re-proven (bench reruns); an unbounded cache would grow without
+    limit holding host lists + device arrays."""
     return jnp.asarray(fr.mat_scale([[pow(z, t, P) for t in range(m)]]))
 
 

@@ -98,8 +98,21 @@ def _pallas_route(x, n: int, inverse: bool):
         out = jax.block_until_ready(ntt_pallas.ntt(x, inverse))
         _pallas_size_ok[n] = True
         return out
-    except Exception:
-        _pallas_size_ok[n] = False
+    except Exception as exc:
+        # Pin only on compile/lowering-shaped failures (VMEM spill, Mosaic
+        # lowering); a transient runtime error (e.g. device OOM from
+        # unrelated pressure) must not disable the route for the process
+        # lifetime.  Either way the degradation is logged so silent route
+        # changes are visible.
+        import sys
+        msg = str(exc).lower()
+        transient = "resource_exhausted" in msg or "out of memory" in msg
+        permanent = not transient
+        if permanent:
+            _pallas_size_ok[n] = False
+        print(f"# ntt: pallas route n={n} failed "
+              f"({type(exc).__name__}); {'pinned to' if permanent else 'falling back once to'} "
+              f"XLA path", file=sys.stderr)
         return None
 
 

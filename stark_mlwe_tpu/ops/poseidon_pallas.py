@@ -11,6 +11,11 @@ rounds) into a single Mosaic program:
   - the MDS row sums are accumulated unreduced (coefficients < 2^26) and
     Montgomery-reduced once per output element (same extended-REDC trick
     as fr.mat_apply; constants pre-scaled by 2^272),
+  - the ENTIRE partial-round block is evaluated in its exact affine form
+    (spec.poseidon_opt.partial_round_affine): every multiply becomes a
+    constant int8 nibble matmul on the MXU against a running digit
+    buffer, leaving only the rp sequential one-element S-boxes on the
+    VPU — ~5x fewer VPU ops than the sparse-factor round-by-round path,
   - rounds run under in-kernel fori_loops with round constants dynamically
     indexed from VMEM,
   - `absorb_chain` runs an entire sequential sponge chain (one rate-block
@@ -222,8 +227,10 @@ def _redc_frame(T, nred):
 # what costs the VPU hundreds of issue slots.
 # ---------------------------------------------------------------------------
 
-def mxu_mds_planes(params_mds, t: int):
-    """Host-side constant builder: (W_lo, W_hi) int8 [t*64, t*32].
+def mxu_planes(mat, R: int, C: int):
+    """Host-side constant builder: (W_lo, W_hi) int8 [R*64, C*32] for an
+    arbitrary R x C field-constant matrix (entries pre-scaled by 2^272
+    for the extended REDC).
 
     W8[(i,k'),(j,m)] = byte_{k'-d(m)} (M[i,j] * 2^272 mod P) with the input
     row convention m<16 -> byte0 of limb m (digit 2m), m>=16 -> byte1 of
@@ -231,10 +238,10 @@ def mxu_mds_planes(params_mds, t: int):
     """
     from ..spec.field import P as _P
 
-    B = np.zeros((t, t, 32), np.int16)
-    for i in range(t):
-        for j in range(t):
-            v = params_mds[i][j] * fr.MAT_SCALE % _P
+    B = np.zeros((R, C, 32), np.int16)
+    for i in range(R):
+        for j in range(C):
+            v = mat[i][j] * fr.MAT_SCALE % _P
             for b in range(32):
                 B[i, j, b] = (v >> (8 * b)) & 0xFF
     d_of_m = np.array([2 * m if m < 16 else 2 * (m - 16) + 1
@@ -242,120 +249,90 @@ def mxu_mds_planes(params_mds, t: int):
     l1 = np.arange(64)[:, None] - d_of_m[None, :]   # [64, 32]
     valid = (l1 >= 0) & (l1 < 32)
     l1c = np.clip(l1, 0, 31)
-    W8 = np.zeros((t * 64, t * 32), np.int16)
-    for i in range(t):
-        for j in range(t):
+    W8 = np.zeros((R * 64, C * 32), np.int16)
+    for i in range(R):
+        for j in range(C):
             W8[i * 64:(i + 1) * 64, j * 32:(j + 1) * 32] = \
                 np.where(valid, B[i, j][l1c], 0)
     return ((W8 & 0xF).astype(np.int8), (W8 >> 4).astype(np.int8))
 
 
-def _mat_bl_mxu(wlo_ref, whi_ref, s):
-    """MDS apply on the MXU: s [t, 16, TB] -> [t, 16, TB]."""
-    t = s.shape[0]
-    tb = s.shape[-1]
+def mxu_mds_planes(params_mds, t: int):
+    return mxu_planes(params_mds, t, t)
+
+
+def _to_digits_bl(s):
+    """[rows, 16, TB] u32 canonical limbs -> (lo, hi) int8 nibble planes
+    [rows*32, TB] in the mxu_planes input-row convention."""
+    rows, _, tb = s.shape
     lo_b = (s & 0xFF).astype(jnp.int32)
     hi_b = (s >> 8).astype(jnp.int32)
-    sflat = jnp.concatenate([lo_b, hi_b], axis=-2).reshape(t * 32, tb)
-    s_lo = (sflat & 0xF).astype(jnp.int8)
-    s_hi = (sflat >> 4).astype(jnp.int8)
+    sflat = jnp.concatenate([lo_b, hi_b], axis=-2).reshape(rows * 32, tb)
+    return (sflat & 0xF).astype(jnp.int8), (sflat >> 4).astype(jnp.int8)
 
+
+def _dot4(wlo, whi, s_lo, s_hi):
+    """Nibble-plane int8 matmul: exact int32 radix-2^8 coefficient sums
+    [R*64, TB].  Bounds: each dot <= 15*15*K, so t8 < 225*K*289 -- int32-
+    safe up to K ~ 2^14 input digit rows (largest use: K=(t+rp)*32)."""
     def dot(w, v):
         return jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.int32)
 
-    wlo = wlo_ref[:]
-    whi = whi_ref[:]
-    t8 = (dot(wlo, s_lo) + ((dot(wlo, s_hi) + dot(whi, s_lo)) << 4)
-          + (dot(whi, s_hi) << 8))
-    t8 = t8.reshape(t, 64, tb)
+    return (dot(wlo, s_lo) + ((dot(wlo, s_hi) + dot(whi, s_lo)) << 4)
+            + (dot(whi, s_hi) << 8))
 
-    # radix 2^8 -> 2^16 with one carry fold; feed the roll-based REDC.
-    # [t, 64, tb] -> even/odd byte rows via a reshape (64 = 32 pairs).
+
+def _t8_to_fr(t8, rows: int):
+    """Radix-2^8 coefficient sums [rows*64, TB] -> canonical field limbs
+    [rows, 16, TB]: fold byte pairs to 2^16 digits and extended-REDC by
+    2^272 (the mxu_planes constant scale)."""
+    tb = t8.shape[-1]
     nT = fr.NRED_MAT + N + 1
-    pairs = t8.reshape(t, 32, 2, tb)
+    pairs = t8.reshape(rows, 32, 2, tb)
     ev = pairs[:, :, 0, :]
     od = pairs[:, :, 1, :]
-    val = (ev + ((od & 0xFF) << 8)).astype(U32)       # [t, 32, tb]
+    val = (ev + ((od & 0xFF) << 8)).astype(U32)       # [rows, 32, tb]
     car = (od >> 8).astype(U32)
     T = _shift_rows(val, nT, 0) + _shift_rows(car, nT, 1)
     return _redc_frame(T, fr.NRED_MAT)
 
 
+def _mat_bl_mxu(wlo_ref, whi_ref, s):
+    """MDS apply on the MXU: s [t, 16, TB] -> [t, 16, TB]."""
+    t = s.shape[0]
+    s_lo, s_hi = _to_digits_bl(s)
+    return _t8_to_fr(_dot4(wlo_ref[:], whi_ref[:], s_lo, s_hi), t)
+
+
 # ---------------------------------------------------------------------------
-# Sparse partial rounds (spec.poseidon_opt factorization): each of the
-# first rp-1 partial rounds applies the sparse matrix
-#   Q_r = [[q00, w^T], [Mhat^-1 v, I]]
-# (a t-term row dot for lane 0 + a 2-term column update for lanes 1..t-1)
-# instead of the dense t x t MDS; one dense M_final lands after the last
-# partial S-box.  ~3t multiplies per round instead of t^2, bit-exact.
+# Affine partial-round block (spec.poseidon_opt.partial_round_affine):
+# the whole rp-round block is an exact affine function of the block input
+# s and the rp sequential S-box outputs y,
+#
+#     w_r = [W | V][r] . [s; y_{<r}]        (V strictly lower triangular)
+#     y_r = sbox5(w_r + rc_partial[r])
+#     out = [A_s | A_y] . [s; y]
+#
+# so every partial-round MULTIPLY becomes a constant int8 nibble matmul
+# on the MXU against a running digit buffer U = [digits(s); digits(y_0);
+# ...], leaving only the rp sequential one-element S-boxes (and one tiny
+# extended REDC per round) on the VPU.  Unwritten y rows of U are read
+# before being written, but always against structurally-zero plane
+# columns (V's upper triangle), so their garbage contributes exactly 0.
 # ---------------------------------------------------------------------------
 
-def _row_dot_bl(qrow, s):
-    """Lane-0 row dot: qrow [16, t, 1, 1] (limb-major 2^272-scaled constant
-    limbs; trailing unit dims keep Mosaic's replicated layout so the
-    broadcast against the tiled state is legal), s [t, 16, TB] ->
-    [1, 16, TB] = REDC(sum_j qrow[j] * s[j])."""
-    nT = fr.NRED_MAT + N + 1
-
-    def lohi(l):
-        prod = qrow[l] * s                        # [t,1,1]*[t,16,TB]
-        # sums over j: <= t terms of < 2^16 -> < 2^21, int32-safe
-        lo = (prod & MASK).astype(jnp.int32).sum(
-            axis=0, keepdims=True).astype(U32)
-        hi = (prod >> BITS).astype(jnp.int32).sum(
-            axis=0, keepdims=True).astype(U32)
-        return lo, hi
-
-    T = None
-    for l in range(0, N, 2):
-        lo0, hi0 = lohi(l)
-        lo1, hi1 = lohi(l + 1)
-        c = (_shift_rows(lo0, N + 2, 0) + _shift_rows(hi0 + lo1, N + 2, 1)
-             + _shift_rows(hi1, N + 2, 2))
-        upd = _shift_rows(c, nT, l)
-        T = upd if T is None else T + upd
-    return _redc_frame(T, fr.NRED_MAT)
-
-
-def _col_update_bl(qcol, s_rest, x0):
-    """Column update: out_i = s_i + qcol[i] * x0 for lanes 1..t-1.
-
-    qcol [16, t-1, 1, 1] is limb-major 2^272-scaled constant limbs;
-    s_rest [t-1, 16, TB], x0 [1, 16, TB].  The identity term
-    s_rest * 2^272 is ONE sublane roll to offset NRED_MAT (2^(16*17)
-    placed exactly; the REDC reduces mod P), not a 16-limb
-    constant multiply."""
-    nT = fr.NRED_MAT + N + 1
-
-    def lohi(l):
-        pq = qcol[l] * x0                         # [t-1,1,1]*[1,16,TB]
-        return pq & MASK, pq >> BITS
-
-    T = _shift_rows(s_rest, nT, fr.NRED_MAT)
-    for l in range(0, N, 2):
-        lo0, hi0 = lohi(l)                        # rows < 2^16
-        lo1, hi1 = lohi(l + 1)
-        c = (_shift_rows(lo0, N + 2, 0) + _shift_rows(hi0 + lo1, N + 2, 1)
-             + _shift_rows(hi1, N + 2, 2))
-        T = T + _shift_rows(c, nT, l)
-    return _redc_frame(T, fr.NRED_MAT)
-
-
-def _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref, rcp_ref,
-                  qrow_ref, qcol_ref, rf, rp):
+def _permute_body(s, wlo_ref, whi_ref, wvlo_ref, wvhi_ref, alo_ref, ahi_ref,
+                  rcf_ref, rcp_ref, ulo_ref, uhi_ref, rf, rp):
     """The full permutation on a state value s [t, 16, TB].
 
-    Round-constant arrays stay Refs (dynamic VMEM loads inside the
-    fori_loops).  rcf_ref: [rf, t, 16, 1]; rcp_ref: [rp, 1, 16, 1];
-    qrow_ref: [rp-1, 16, t, 1, 1]; qcol_ref: [rp-1, 16, t-1, 1, 1].
-    Full-round MDS runs on the MXU (nibble int8 matmul planes); partial
-    rounds apply the sparse Q_r factors on the VPU (spec.poseidon_opt)
-    -- bit-exact, ~3t muls per round vs t^2.  The one dense M_final
-    after the last partial S-box uses its own MXU planes (small at the
-    sparse widths t <= 33; t=129, where a second plane set would blow
-    VMEM, is routed off Pallas entirely -- see pallas_supported).
+    Full-round MDS runs on the MXU (nibble int8 matmul planes wlo/whi);
+    the partial block runs in the affine form above with planes
+    wv = [W | V] ([rp*64, (t+rp)*32]) and a = [A_s | A_y]
+    ([t*64, (t+rp)*32]).  rcf_ref: [rf, t, 16, 1]; rcp_ref: [rp, 1, 16, 1].
+    ulo/uhi are [(t+rp)*32, TB] int8 VMEM scratch (the digit buffer).
     """
+    t = s.shape[0]
     half = rf // 2
 
     def full_round(r, s):
@@ -364,31 +341,35 @@ def _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref, rcp_ref,
         x = _pow5_bl(x)
         return _mat_bl_mxu(wlo_ref, whi_ref, x)
 
-    def partial_sparse(r, s):
-        rc = rcp_ref[pl.ds(r, 1)][0]              # [1, 16, 1]
-        x0 = _pow5_bl(_add_bl(s[0:1], rc))
-        qrow = qrow_ref[pl.ds(r, 1)][0]           # [16, t, 1, 1]
-        qcol = qcol_ref[pl.ds(r, 1)][0]           # [16, t-1, 1, 1]
-        s_rest = s[1:]
-        new0 = _row_dot_bl(qrow, jnp.concatenate([x0, s_rest], axis=0))
-        rest = _col_update_bl(qcol, s_rest, x0)
-        return jnp.concatenate([new0, rest], axis=0)
-
     s = jax.lax.fori_loop(0, half, full_round, s)
-    s = jax.lax.fori_loop(0, rp - 1, partial_sparse, s)
-    rc = rcp_ref[pl.ds(rp - 1, 1)][0]
-    x0 = _pow5_bl(_add_bl(s[0:1], rc))
-    s = jnp.concatenate([x0, s[1:]], axis=0)
-    s = _mat_bl_mxu(mflo_ref, mfhi_ref, s)
+
+    s_lo, s_hi = _to_digits_bl(s)
+    ulo_ref[0:t * 32] = s_lo
+    uhi_ref[0:t * 32] = s_hi
+
+    def partial_affine(r, carry):
+        wv_lo = wvlo_ref[pl.ds(r * 64, 64)]       # [64, (t+rp)*32]
+        wv_hi = wvhi_ref[pl.ds(r * 64, 64)]
+        w = _t8_to_fr(_dot4(wv_lo, wv_hi, ulo_ref[:], uhi_ref[:]), 1)
+        rc = rcp_ref[pl.ds(r, 1)][0]              # [1, 16, 1]
+        y = _pow5_bl(_add_bl(w, rc))
+        y_lo, y_hi = _to_digits_bl(y)
+        ulo_ref[pl.ds(t * 32 + r * 32, 32)] = y_lo
+        uhi_ref[pl.ds(t * 32 + r * 32, 32)] = y_hi
+        return carry
+
+    jax.lax.fori_loop(0, rp, partial_affine, jnp.int32(0))
+
+    s = _t8_to_fr(_dot4(alo_ref[:], ahi_ref[:], ulo_ref[:], uhi_ref[:]), t)
     s = jax.lax.fori_loop(half, rf, full_round, s)
     return s
 
 
-def _use_sparse(t: int) -> bool:
-    """Sparse partial-round factors for the small widths only: the
-    [..., 1, 1]-layout constants lane-pad 128x in VMEM, so at t >= 65
-    (alt-schedule arities 64/128) qrow+qcol+afinal would exceed the
-    128 MB VMEM budget; those widths use the dense-MXU body."""
+def _use_affine(t: int) -> bool:
+    """Affine partial-round block for the small widths: the wv + a nibble
+    planes total ~30-46 MB of VMEM at t <= 33.  At t=65 (rp=76) they
+    would need ~100 MB on top of the dense MDS planes, so that width
+    keeps the dense-MXU body."""
     return t <= 33
 
 
@@ -420,36 +401,20 @@ _mxu_cache: dict = {}
 def _const_args(dp):
     key = id(dp)
     if key not in _mxu_cache:
-        from ..spec.field import P as _P
-
         t, rp = dp.t, dp.rp
         wlo, whi = mxu_mds_planes(dp.spec_params.mds, dp.t)
         rcf = np.asarray(dp.rc_full)[..., None]
         rcp = np.asarray(dp.rc_part)[:, None, :, None]
-        if not _use_sparse(t):
+        if not _use_affine(t):
             _mxu_cache[key] = (wlo, whi, rcf, rcp)
         else:
-            from ..spec.poseidon_opt import partial_round_factorization
-            fac = partial_round_factorization(dp.spec_params)
-
-            def scaled_limbs(vals):
-                a = np.zeros((len(vals), N), np.uint32)
-                for i, v in enumerate(vals):
-                    x = v * fr.MAT_SCALE % _P
-                    for k in range(N):
-                        a[i, k] = (x >> (BITS * k)) & MASK
-                return a
-
-            # limb-major [rp-1, 16, t(,t-1), 1, 1]: only leading dims are
-            # ever sliced in-kernel, keeping the trailing unit dims'
-            # replicated layout (Mosaic cannot broadcast a sublane-sliced
-            # vector).
-            qrow = np.stack([scaled_limbs(r).T for r in fac.q_rows])
-            qcol = np.stack([scaled_limbs(c).T for c in fac.q_cols])
-            mflo, mfhi = mxu_mds_planes(fac.m_final, t)
-            _mxu_cache[key] = (
-                wlo, whi, mflo, mfhi, rcf, rcp,
-                qrow[..., None, None], qcol[..., None, None])
+            from ..spec.poseidon_opt import partial_round_affine
+            aff = partial_round_affine(dp.spec_params)
+            wv = [list(aff.w_s[r]) + list(aff.v[r]) for r in range(rp)]
+            a_ = [list(aff.a_s[i]) + list(aff.a_y[i]) for i in range(t)]
+            wvlo, wvhi = mxu_planes(wv, rp, t + rp)
+            alo, ahi = mxu_planes(a_, t, t + rp)
+            _mxu_cache[key] = (wlo, whi, wvlo, wvhi, alo, ahi, rcf, rcp)
     return tuple(jnp.asarray(a) for a in _mxu_cache[key])
 
 
@@ -467,25 +432,35 @@ def _const_specs(t, rf, rp):
         pl.BlockSpec((rp, 1, N, 1), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if not _use_sparse(t):
+    if not _use_affine(t):
         return [full, full] + rc_specs
     return [
-        full, full, full, full,
-    ] + rc_specs + [
-        pl.BlockSpec((rp - 1, N, t, 1, 1), lambda i: (0, 0, 0, 0, 0),
+        full, full,
+        pl.BlockSpec((rp * 64, (t + rp) * 32), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rp - 1, N, t - 1, 1, 1), lambda i: (0, 0, 0, 0, 0),
+        pl.BlockSpec((rp * 64, (t + rp) * 32), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-    ]
+        pl.BlockSpec((t * 64, (t + rp) * 32), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t * 64, (t + rp) * 32), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + rc_specs
 
 
-def _permute_kernel(rf, rp, wlo_ref, whi_ref, mflo_ref, mfhi_ref, rcf_ref,
-                    rcp_ref, qrow_ref, qcol_ref, prow_ref,
-                    x_ref, o_ref):
+def _u_scratch(t, rp):
+    """Digit-buffer scratch for the affine body: U = [digits(s);
+    digits(y_0..y_{rp-1})] as int8 nibble planes."""
+    return [pltpu.VMEM(((t + rp) * 32, TB), jnp.int8),
+            pltpu.VMEM(((t + rp) * 32, TB), jnp.int8)]
+
+
+def _permute_kernel(rf, rp, wlo_ref, whi_ref, wvlo_ref, wvhi_ref, alo_ref,
+                    ahi_ref, rcf_ref, rcp_ref, prow_ref,
+                    x_ref, o_ref, ulo_ref, uhi_ref):
     with _prow_scope(prow_ref):
-        o_ref[:] = _permute_body(x_ref[:], wlo_ref, whi_ref, mflo_ref,
-                                 mfhi_ref, rcf_ref, rcp_ref, qrow_ref,
-                                 qcol_ref, rf, rp)
+        o_ref[:] = _permute_body(x_ref[:], wlo_ref, whi_ref, wvlo_ref,
+                                 wvhi_ref, alo_ref, ahi_ref, rcf_ref,
+                                 rcp_ref, ulo_ref, uhi_ref, rf, rp)
 
 
 def _permute_kernel_dense(rf, rp, wlo_ref, whi_ref, rcf_ref, rcp_ref,
@@ -501,7 +476,8 @@ def _permute_tiles(x, dp, interpret):
     t, _, B = x.shape
     rf, rp = dp.rf, dp.rp
     grid = (B // TB,)
-    kern = (partial(_permute_kernel, rf, rp) if _use_sparse(t)
+    affine = _use_affine(t)
+    kern = (partial(_permute_kernel, rf, rp) if affine
             else partial(_permute_kernel_dense, rf, rp))
     out = pl.pallas_call(
         kern,
@@ -515,6 +491,7 @@ def _permute_tiles(x, dp, interpret):
         out_specs=pl.BlockSpec((t, N, TB), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, N, B), U32),
+        scratch_shapes=_u_scratch(t, rp) if affine else [],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -543,9 +520,10 @@ def permute(states, dp, interpret: bool = False):
 # carried in the (constant-indexed) output block across grid steps.
 # ---------------------------------------------------------------------------
 
-def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, mflo_ref, mfhi_ref,
-                   rcf_ref, rcp_ref, qrow_ref, qcol_ref,
-                   prow_ref, init_ref, blocks_ref, state_ref):
+def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, wvlo_ref, wvhi_ref,
+                   alo_ref, ahi_ref, rcf_ref, rcp_ref,
+                   prow_ref, init_ref, blocks_ref, state_ref,
+                   ulo_ref, uhi_ref):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -557,9 +535,9 @@ def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, mflo_ref, mfhi_ref,
         blk = blocks_ref[0]               # [rate, 16, C]
         absorbed = _add_bl(s[:rate], blk)
         s = jnp.concatenate([absorbed, s[rate:]], axis=0)
-        state_ref[:] = _permute_body(s, wlo_ref, whi_ref, mflo_ref, mfhi_ref,
-                                     rcf_ref, rcp_ref, qrow_ref, qcol_ref,
-                                     rf, rp)
+        state_ref[:] = _permute_body(s, wlo_ref, whi_ref, wvlo_ref, wvhi_ref,
+                                     alo_ref, ahi_ref, rcf_ref, rcp_ref,
+                                     ulo_ref, uhi_ref, rf, rp)
 
 
 def _absorb_kernel_dense(rf, rp, rate, wlo_ref, whi_ref, rcf_ref, rcp_ref,
@@ -590,8 +568,12 @@ def absorb_chain(init_state, blocks, dp, interpret: bool = False):
     t, _, C = init_state.shape
     nb, rate = blocks.shape[0], blocks.shape[1]
     rf, rp = dp.rf, dp.rp
-    kern = (partial(_absorb_kernel, rf, rp, rate) if _use_sparse(t)
+    affine = _use_affine(t)
+    kern = (partial(_absorb_kernel, rf, rp, rate) if affine
             else partial(_absorb_kernel_dense, rf, rp, rate))
+    scratch = ([pltpu.VMEM(((t + rp) * 32, C), jnp.int8),
+                pltpu.VMEM(((t + rp) * 32, C), jnp.int8)]
+               if affine else [])
     out = pl.pallas_call(
         kern,
         grid=(nb,),
@@ -606,6 +588,7 @@ def absorb_chain(init_state, blocks, dp, interpret: bool = False):
         out_specs=pl.BlockSpec((t, N, C), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, N, C), U32),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -180,6 +180,116 @@ def partial_round_factorization(params: PoseidonParams) -> PartialRoundFactors:
     return fac
 
 
+# ---------------------------------------------------------------------------
+# Affine expansion of the whole partial-round block.
+#
+# In the factorized form (permute_opt below) the partial rounds are
+#
+#     for r in 0..rp-1:  y_r = sbox(s[0] + rc_partial[r])
+#                        if r < rp-1: s = Q_r . [y_r, s[1:]]
+#     out = m_final . [y_{rp-1}, s[1:]]
+#
+# where Q_r touches the state only through (a) a row dot producing the new
+# lane 0 and (b) rank-1 column updates s[i] += q_col[i-1] * y_r.  Every
+# lane except the S-box is LINEAR, so the entire block is an exact affine
+# function of the block input s and the rp sequential S-box outputs y:
+#
+#     w_r  = W[r] . s  +  sum_{r'<r} V[r][r'] * y_{r'}     (S-box input)
+#     y_r  = sbox(w_r + rc_partial[r])
+#     out  = A_s . s  +  A_y . y
+#
+# with W [rp, t], V strictly lower-triangular [rp, rp], A_s [t, t]
+# (column 0 zero), A_y [t, rp] -- all constants precomputed here with
+# exact mod-p arithmetic.  This is what lets the TPU kernel evaluate all
+# partial-round multiplies as constant int8 digit matmuls on the MXU,
+# with only the rp sequential S-boxes left on the VPU.
+# ---------------------------------------------------------------------------
+
+
+class PartialAffine:
+    """Constant matrices of the affine partial-round form (see above)."""
+
+    __slots__ = ("w_s", "v", "a_s", "a_y")
+
+    def __init__(self, w_s, v, a_s, a_y):
+        self.w_s = w_s    # [rp][t]
+        self.v = v        # [rp][rp] (strictly lower triangular)
+        self.a_s = a_s    # [t][t]  (column 0 all zero)
+        self.a_y = a_y    # [t][rp]
+
+
+_affine_cache: dict = {}
+
+
+def partial_round_affine(params: PoseidonParams) -> PartialAffine:
+    key = id(params)
+    if key in _affine_cache:
+        return _affine_cache[key]
+    fac = partial_round_factorization(params)
+    t, rp = params.t, params.rp
+
+    w_s = [[0] * t for _ in range(rp)]
+    v = [[0] * rp for _ in range(rp)]
+    w_s[0][0] = 1
+    for r in range(1, rp):
+        qrow = fac.q_rows[r - 1]
+        # s_rest^{(r-1)} = s[1:] + sum_{r'<r-1} q_cols[r'] * y_{r'}
+        for j in range(1, t):
+            w_s[r][j] = qrow[j] % P
+        v[r][r - 1] = qrow[0] % P
+        for rp_ in range(r - 1):
+            qcol = fac.q_cols[rp_]
+            v[r][rp_] = sum(qrow[1 + i] * qcol[i]
+                            for i in range(t - 1)) % P
+
+    a_s = [[0] * t for _ in range(t)]
+    a_y = [[0] * rp for _ in range(t)]
+    for i in range(t):
+        for j in range(1, t):
+            a_s[i][j] = fac.m_final[i][j] % P
+        a_y[i][rp - 1] = fac.m_final[i][0] % P
+        for r in range(rp - 1):
+            qcol = fac.q_cols[r]
+            a_y[i][r] = sum(fac.m_final[i][1 + j] * qcol[j]
+                            for j in range(t - 1)) % P
+
+    aff = PartialAffine(w_s, v, a_s, a_y)
+    _affine_cache[key] = aff
+    return aff
+
+
+def permute_affine(state: list, params: PoseidonParams) -> list:
+    """Bit-identical to spec.poseidon.permute, evaluating the partial
+    rounds through the affine form (the TPU kernel's reference)."""
+    t = params.t
+    s = list(state)
+    half = params.rf // 2
+    mds = params.mds
+
+    def mds_mul(m, v_):
+        return [sum(m[i][j] * v_[j] for j in range(t)) % P for i in range(t)]
+
+    aff = partial_round_affine(params)
+    for r in range(half):
+        rc = params.rc_full[r]
+        s = mds_mul(mds, [_sbox5((s[i] + rc[i]) % P) for i in range(t)])
+
+    rp = params.rp
+    y = []
+    for r in range(rp):
+        w = sum(aff.w_s[r][j] * s[j] for j in range(t))
+        w += sum(aff.v[r][r_] * y[r_] for r_ in range(r))
+        y.append(_sbox5((w + params.rc_partial[r]) % P))
+    s = [(sum(aff.a_s[i][j] * s[j] for j in range(t))
+          + sum(aff.a_y[i][r] * y[r] for r in range(rp))) % P
+         for i in range(t)]
+
+    for r in range(half, params.rf):
+        rc = params.rc_full[r]
+        s = mds_mul(mds, [_sbox5((s[i] + rc[i]) % P) for i in range(t)])
+    return s
+
+
 def _apply_q(q_row, q_col, s):
     t = len(s)
     s0 = sum(q_row[j] * s[j] for j in range(t)) % P

@@ -26,6 +26,20 @@ def test_pack_unpack_roundtrip():
     assert fr.unpack_ints(arr_m, mont=True) == xs
 
 
+def test_pack_ints_native_threshold():
+    # pack_ints(mont=True) routes len >= 1024 to the native
+    # fr_to_mont_batch fast path; both sides of the threshold must agree
+    # with the scalar Python branch (including edge values 0, 1, P-1).
+    xs = [0, 1, P - 1] + rand_elems(1030)
+    want = np.asarray([fr._limbs_of(x * fr.R_MONT % P) for x in xs],
+                      dtype=np.uint32)
+    got_big = fr.pack_ints(xs, mont=True)          # >= 1024: native path
+    got_small = fr.pack_ints(xs[:64], mont=True)   # < 1024: scalar path
+    assert np.array_equal(got_big, want)
+    assert np.array_equal(got_small, want[:64])
+    assert fr.unpack_ints(got_big, mont=True) == xs
+
+
 def test_to_from_mont_device():
     xs = rand_elems(9) + [0, 1, P - 1]
     canon = jnp.asarray(fr.pack_ints(xs))

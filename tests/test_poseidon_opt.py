@@ -10,8 +10,9 @@ from stark_mlwe_tpu.spec import poseidon as spos
 from stark_mlwe_tpu.spec.field import P
 from stark_mlwe_tpu.spec.poseidon import generate_params_t17
 from stark_mlwe_tpu.spec.poseidon_opt import (_factorize_python,
+                                              partial_round_affine,
                                               partial_round_factorization,
-                                              permute_opt)
+                                              permute_affine, permute_opt)
 
 
 @pytest.mark.parametrize("t", [9, 17, 33])
@@ -21,6 +22,30 @@ def test_permute_opt_bit_exact(t):
     for _ in range(3):
         st = [rng.randrange(P) for _ in range(t)]
         assert permute_opt(st, params) == spos.permute(st, params)
+
+
+@pytest.mark.parametrize("t", [9, 17, 33, 65])
+def test_permute_affine_bit_exact(t):
+    """The affine partial-round form (W/V/A_s/A_y) is exact: identical
+    outputs to the golden permutation at every width."""
+    params = spos.params_for_width(t)
+    rng = random.Random(2000 + t)
+    for _ in range(2):
+        st = [rng.randrange(P) for _ in range(t)]
+        assert permute_affine(st, params) == spos.permute(st, params)
+
+
+def test_partial_affine_shapes():
+    params = spos.params_for_width(17)
+    aff = partial_round_affine(params)
+    rp, t = params.rp, params.t
+    assert len(aff.w_s) == rp and all(len(r) == t for r in aff.w_s)
+    assert len(aff.v) == rp
+    # strictly lower triangular
+    for r in range(rp):
+        assert all(aff.v[r][c] == 0 for c in range(r, rp))
+    assert all(aff.a_s[i][0] == 0 for i in range(t))
+    assert len(aff.a_y) == t and all(len(r) == rp for r in aff.a_y)
 
 
 def test_permute_opt_both_t17_seeds():
