@@ -262,25 +262,30 @@ def mxu_mds_planes(params_mds, t: int):
 
 
 def _to_digits_bl(s):
-    """[rows, 16, TB] u32 canonical limbs -> (lo, hi) int8 nibble planes
-    [rows*32, TB] in the mxu_planes input-row convention."""
+    """[rows, 16, TB] u32 canonical limbs -> [rows*32, 2*TB] int8 nibble
+    digits in the mxu_planes input-row convention: low nibbles in lanes
+    [:TB], high nibbles in lanes [TB:]."""
     rows, _, tb = s.shape
     lo_b = (s & 0xFF).astype(jnp.int32)
     hi_b = (s >> 8).astype(jnp.int32)
     sflat = jnp.concatenate([lo_b, hi_b], axis=-2).reshape(rows * 32, tb)
-    return (sflat & 0xF).astype(jnp.int8), (sflat >> 4).astype(jnp.int8)
+    return jnp.concatenate([(sflat & 0xF).astype(jnp.int8),
+                            (sflat >> 4).astype(jnp.int8)], axis=-1)
 
 
-def _dot4(wlo, whi, s_lo, s_hi):
-    """Nibble-plane int8 matmul: exact int32 radix-2^8 coefficient sums
-    [R*64, TB].  Bounds: each dot <= 15*15*K, so t8 < 225*K*289 -- int32-
-    safe up to K ~ 2^14 input digit rows (largest use: K=(t+rp)*32)."""
-    def dot(w, v):
-        return jax.lax.dot_general(w, v, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.int32)
-
-    return (dot(wlo, s_lo) + ((dot(wlo, s_hi) + dot(whi, s_lo)) << 4)
-            + (dot(whi, s_hi) << 8))
+def _dot_planes(w_cat, u_cat):
+    """All four nibble-plane combinations in ONE int8 MXU matmul:
+    w_cat [2R, K] (W_lo rows stacked over W_hi rows), u_cat [K, 2*TB]
+    (lo-nibble lanes then hi-nibble lanes) -> exact int32 radix-2^8
+    coefficient sums [R, TB] recombined from the four quadrants.
+    Bounds: each quadrant <= 15*15*K, so t8 < 225*K*289 -- int32-safe up
+    to K ~ 2^14 input digit rows (largest use: K=(t+rp)*32)."""
+    q = jax.lax.dot_general(w_cat, u_cat, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    R = q.shape[0] // 2
+    tb = q.shape[1] // 2
+    return (q[:R, :tb] + ((q[:R, tb:] + q[R:, :tb]) << 4)
+            + (q[R:, tb:] << 8))
 
 
 def _t8_to_fr(t8, rows: int):
@@ -298,11 +303,11 @@ def _t8_to_fr(t8, rows: int):
     return _redc_frame(T, fr.NRED_MAT)
 
 
-def _mat_bl_mxu(wlo_ref, whi_ref, s):
-    """MDS apply on the MXU: s [t, 16, TB] -> [t, 16, TB]."""
+def _mat_bl_mxu(w_ref, s):
+    """MDS apply on the MXU: s [t, 16, TB] -> [t, 16, TB].
+    w_ref: [2*t*64, t*32] concatenated nibble planes."""
     t = s.shape[0]
-    s_lo, s_hi = _to_digits_bl(s)
-    return _t8_to_fr(_dot4(wlo_ref[:], whi_ref[:], s_lo, s_hi), t)
+    return _t8_to_fr(_dot_planes(w_ref[:], _to_digits_bl(s)), t)
 
 
 # ---------------------------------------------------------------------------
@@ -322,15 +327,17 @@ def _mat_bl_mxu(wlo_ref, whi_ref, s):
 # columns (V's upper triangle), so their garbage contributes exactly 0.
 # ---------------------------------------------------------------------------
 
-def _permute_body(s, wlo_ref, whi_ref, wvlo_ref, wvhi_ref, alo_ref, ahi_ref,
-                  rcf_ref, rcp_ref, ulo_ref, uhi_ref, rf, rp):
+def _permute_body(s, mds_ref, wv_ref, a_ref, rcf_ref, rcp_ref, u_ref,
+                  rf, rp):
     """The full permutation on a state value s [t, 16, TB].
 
-    Full-round MDS runs on the MXU (nibble int8 matmul planes wlo/whi);
-    the partial block runs in the affine form above with planes
-    wv = [W | V] ([rp*64, (t+rp)*32]) and a = [A_s | A_y]
-    ([t*64, (t+rp)*32]).  rcf_ref: [rf, t, 16, 1]; rcp_ref: [rp, 1, 16, 1].
-    ulo/uhi are [(t+rp)*32, TB] int8 VMEM scratch (the digit buffer).
+    Full-round MDS runs on the MXU (concatenated nibble planes mds_ref);
+    the partial block runs in the affine form above with per-round plane
+    slices wv_ref [rp*128, (t+rp)*32] (round r's W_lo rows at r*128,
+    W_hi rows at r*128+64) and a_ref = [A_s | A_y] planes
+    [2*t*64, (t+rp)*32].  rcf_ref: [rf, t, 16, 1]; rcp_ref:
+    [rp, 1, 16, 1].  u_ref is [(t+rp)*32, 2*TB] int8 VMEM scratch (the
+    running digit buffer, lo nibbles in lanes [:TB], hi in [TB:]).
     """
     t = s.shape[0]
     half = rf // 2
@@ -339,28 +346,23 @@ def _permute_body(s, wlo_ref, whi_ref, wvlo_ref, wvhi_ref, alo_ref, ahi_ref,
         rc = rcf_ref[pl.ds(r, 1)][0]              # [t, 16, 1]
         x = _add_bl(s, rc)
         x = _pow5_bl(x)
-        return _mat_bl_mxu(wlo_ref, whi_ref, x)
+        return _mat_bl_mxu(mds_ref, x)
 
     s = jax.lax.fori_loop(0, half, full_round, s)
 
-    s_lo, s_hi = _to_digits_bl(s)
-    ulo_ref[0:t * 32] = s_lo
-    uhi_ref[0:t * 32] = s_hi
+    u_ref[0:t * 32] = _to_digits_bl(s)
 
     def partial_affine(r, carry):
-        wv_lo = wvlo_ref[pl.ds(r * 64, 64)]       # [64, (t+rp)*32]
-        wv_hi = wvhi_ref[pl.ds(r * 64, 64)]
-        w = _t8_to_fr(_dot4(wv_lo, wv_hi, ulo_ref[:], uhi_ref[:]), 1)
+        wv = wv_ref[pl.ds(r * 128, 128)]          # [128, (t+rp)*32]
+        w = _t8_to_fr(_dot_planes(wv, u_ref[:]), 1)
         rc = rcp_ref[pl.ds(r, 1)][0]              # [1, 16, 1]
         y = _pow5_bl(_add_bl(w, rc))
-        y_lo, y_hi = _to_digits_bl(y)
-        ulo_ref[pl.ds(t * 32 + r * 32, 32)] = y_lo
-        uhi_ref[pl.ds(t * 32 + r * 32, 32)] = y_hi
+        u_ref[pl.ds(t * 32 + r * 32, 32)] = _to_digits_bl(y)
         return carry
 
     jax.lax.fori_loop(0, rp, partial_affine, jnp.int32(0))
 
-    s = _t8_to_fr(_dot4(alo_ref[:], ahi_ref[:], ulo_ref[:], uhi_ref[:]), t)
+    s = _t8_to_fr(_dot_planes(a_ref[:], u_ref[:]), t)
     s = jax.lax.fori_loop(half, rf, full_round, s)
     return s
 
@@ -373,7 +375,7 @@ def _use_affine(t: int) -> bool:
     return t <= 33
 
 
-def _permute_body_dense(s, wlo_ref, whi_ref, rcf_ref, rcp_ref, rf, rp):
+def _permute_body_dense(s, mds_ref, rcf_ref, rcp_ref, rf, rp):
     """Dense-MDS permutation body (every round on the MXU planes)."""
     half = rf // 2
 
@@ -381,13 +383,13 @@ def _permute_body_dense(s, wlo_ref, whi_ref, rcf_ref, rcp_ref, rf, rp):
         rc = rcf_ref[pl.ds(r, 1)][0]
         x = _add_bl(s, rc)
         x = _pow5_bl(x)
-        return _mat_bl_mxu(wlo_ref, whi_ref, x)
+        return _mat_bl_mxu(mds_ref, x)
 
     def partial_round(r, s):
         rc = rcp_ref[pl.ds(r, 1)][0]
         x0 = _pow5_bl(_add_bl(s[0:1], rc))
         s = jnp.concatenate([x0, s[1:]], axis=0)
-        return _mat_bl_mxu(wlo_ref, whi_ref, s)
+        return _mat_bl_mxu(mds_ref, s)
 
     s = jax.lax.fori_loop(0, half, full_round, s)
     s = jax.lax.fori_loop(0, rp, partial_round, s)
@@ -403,18 +405,27 @@ def _const_args(dp):
     if key not in _mxu_cache:
         t, rp = dp.t, dp.rp
         wlo, whi = mxu_mds_planes(dp.spec_params.mds, dp.t)
+        mds_cat = np.concatenate([wlo, whi], axis=0)
         rcf = np.asarray(dp.rc_full)[..., None]
         rcp = np.asarray(dp.rc_part)[:, None, :, None]
         if not _use_affine(t):
-            _mxu_cache[key] = (wlo, whi, rcf, rcp)
+            _mxu_cache[key] = (mds_cat, rcf, rcp)
         else:
             from ..spec.poseidon_opt import partial_round_affine
             aff = partial_round_affine(dp.spec_params)
             wv = [list(aff.w_s[r]) + list(aff.v[r]) for r in range(rp)]
             a_ = [list(aff.a_s[i]) + list(aff.a_y[i]) for i in range(t)]
+            K = (t + rp) * 32
             wvlo, wvhi = mxu_planes(wv, rp, t + rp)
+            # round-interleaved: round r's W_lo rows at r*128, W_hi rows
+            # at r*128 + 64, so the kernel slices ONE contiguous
+            # [128, K] block per round.
+            wv_cat = np.concatenate([wvlo.reshape(rp, 64, K),
+                                     wvhi.reshape(rp, 64, K)],
+                                    axis=1).reshape(rp * 128, K)
             alo, ahi = mxu_planes(a_, t, t + rp)
-            _mxu_cache[key] = (wlo, whi, wvlo, wvhi, alo, ahi, rcf, rcp)
+            a_cat = np.concatenate([alo, ahi], axis=0)
+            _mxu_cache[key] = (mds_cat, wv_cat, a_cat, rcf, rcp)
     return tuple(jnp.asarray(a) for a in _mxu_cache[key])
 
 
@@ -424,8 +435,8 @@ def _const_args(dp):
 
 def _const_specs(t, rf, rp):
     """BlockSpecs for the constant arrays from _const_args."""
-    full = pl.BlockSpec((t * 64, t * 32), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)
+    mds = pl.BlockSpec((2 * t * 64, t * 32), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
     rc_specs = [
         pl.BlockSpec((rf, t, N, 1), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -433,40 +444,33 @@ def _const_specs(t, rf, rp):
                      memory_space=pltpu.VMEM),
     ]
     if not _use_affine(t):
-        return [full, full] + rc_specs
+        return [mds] + rc_specs
     return [
-        full, full,
-        pl.BlockSpec((rp * 64, (t + rp) * 32), lambda i: (0, 0),
+        mds,
+        pl.BlockSpec((rp * 128, (t + rp) * 32), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((rp * 64, (t + rp) * 32), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((t * 64, (t + rp) * 32), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((t * 64, (t + rp) * 32), lambda i: (0, 0),
+        pl.BlockSpec((2 * t * 64, (t + rp) * 32), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ] + rc_specs
 
 
-def _u_scratch(t, rp):
+def _u_scratch(t, rp, lanes):
     """Digit-buffer scratch for the affine body: U = [digits(s);
-    digits(y_0..y_{rp-1})] as int8 nibble planes."""
-    return [pltpu.VMEM(((t + rp) * 32, TB), jnp.int8),
-            pltpu.VMEM(((t + rp) * 32, TB), jnp.int8)]
+    digits(y_0..y_{rp-1})] as int8 nibble digits (lo/hi in lane halves)."""
+    return [pltpu.VMEM(((t + rp) * 32, 2 * lanes), jnp.int8)]
 
 
-def _permute_kernel(rf, rp, wlo_ref, whi_ref, wvlo_ref, wvhi_ref, alo_ref,
-                    ahi_ref, rcf_ref, rcp_ref, prow_ref,
-                    x_ref, o_ref, ulo_ref, uhi_ref):
+def _permute_kernel(rf, rp, mds_ref, wv_ref, a_ref, rcf_ref, rcp_ref,
+                    prow_ref, x_ref, o_ref, u_ref):
     with _prow_scope(prow_ref):
-        o_ref[:] = _permute_body(x_ref[:], wlo_ref, whi_ref, wvlo_ref,
-                                 wvhi_ref, alo_ref, ahi_ref, rcf_ref,
-                                 rcp_ref, ulo_ref, uhi_ref, rf, rp)
+        o_ref[:] = _permute_body(x_ref[:], mds_ref, wv_ref, a_ref,
+                                 rcf_ref, rcp_ref, u_ref, rf, rp)
 
 
-def _permute_kernel_dense(rf, rp, wlo_ref, whi_ref, rcf_ref, rcp_ref,
+def _permute_kernel_dense(rf, rp, mds_ref, rcf_ref, rcp_ref,
                           prow_ref, x_ref, o_ref):
     with _prow_scope(prow_ref):
-        o_ref[:] = _permute_body_dense(x_ref[:], wlo_ref, whi_ref,
+        o_ref[:] = _permute_body_dense(x_ref[:], mds_ref,
                                        rcf_ref, rcp_ref, rf, rp)
 
 
@@ -491,7 +495,7 @@ def _permute_tiles(x, dp, interpret):
         out_specs=pl.BlockSpec((t, N, TB), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, N, B), U32),
-        scratch_shapes=_u_scratch(t, rp) if affine else [],
+        scratch_shapes=_u_scratch(t, rp, TB) if affine else [],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -520,10 +524,8 @@ def permute(states, dp, interpret: bool = False):
 # carried in the (constant-indexed) output block across grid steps.
 # ---------------------------------------------------------------------------
 
-def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, wvlo_ref, wvhi_ref,
-                   alo_ref, ahi_ref, rcf_ref, rcp_ref,
-                   prow_ref, init_ref, blocks_ref, state_ref,
-                   ulo_ref, uhi_ref):
+def _absorb_kernel(rf, rp, rate, mds_ref, wv_ref, a_ref, rcf_ref, rcp_ref,
+                   prow_ref, init_ref, blocks_ref, state_ref, u_ref):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -535,12 +537,11 @@ def _absorb_kernel(rf, rp, rate, wlo_ref, whi_ref, wvlo_ref, wvhi_ref,
         blk = blocks_ref[0]               # [rate, 16, C]
         absorbed = _add_bl(s[:rate], blk)
         s = jnp.concatenate([absorbed, s[rate:]], axis=0)
-        state_ref[:] = _permute_body(s, wlo_ref, whi_ref, wvlo_ref, wvhi_ref,
-                                     alo_ref, ahi_ref, rcf_ref, rcp_ref,
-                                     ulo_ref, uhi_ref, rf, rp)
+        state_ref[:] = _permute_body(s, mds_ref, wv_ref, a_ref,
+                                     rcf_ref, rcp_ref, u_ref, rf, rp)
 
 
-def _absorb_kernel_dense(rf, rp, rate, wlo_ref, whi_ref, rcf_ref, rcp_ref,
+def _absorb_kernel_dense(rf, rp, rate, mds_ref, rcf_ref, rcp_ref,
                          prow_ref, init_ref, blocks_ref, state_ref):
     step = pl.program_id(0)
 
@@ -553,7 +554,7 @@ def _absorb_kernel_dense(rf, rp, rate, wlo_ref, whi_ref, rcf_ref, rcp_ref,
         blk = blocks_ref[0]
         absorbed = _add_bl(s[:rate], blk)
         s = jnp.concatenate([absorbed, s[rate:]], axis=0)
-        state_ref[:] = _permute_body_dense(s, wlo_ref, whi_ref,
+        state_ref[:] = _permute_body_dense(s, mds_ref,
                                            rcf_ref, rcp_ref, rf, rp)
 
 
@@ -571,9 +572,7 @@ def absorb_chain(init_state, blocks, dp, interpret: bool = False):
     affine = _use_affine(t)
     kern = (partial(_absorb_kernel, rf, rp, rate) if affine
             else partial(_absorb_kernel_dense, rf, rp, rate))
-    scratch = ([pltpu.VMEM(((t + rp) * 32, C), jnp.int8),
-                pltpu.VMEM(((t + rp) * 32, C), jnp.int8)]
-               if affine else [])
+    scratch = _u_scratch(t, rp, C) if affine else []
     out = pl.pallas_call(
         kern,
         grid=(nb,),
