@@ -86,24 +86,38 @@ class GatherBatch:
         return len(self._items) - 1
 
     def run(self):
-        """Resolves all gathers; returns list of int lists per handle."""
-        parts = []
+        """Resolves all gathers; returns list of int lists per handle.
+
+        The takes + concat + domain conversion run as ONE jitted call
+        (pytree-cached by array shapes): each eager dispatch on a
+        remote-attached device costs ~ms, and a query pass queues ~30."""
+        arrs, idx_devs, lens = [], [], []
         for arr, idxs in self._items:
             g = max(len(idxs), 1)
             gp = 1
             while gp < g:
                 gp *= 2
             padded = (idxs + [0] * (gp - len(idxs))) if idxs else [0]
-            parts.append(jnp.take(arr, jnp.asarray(padded, jnp.int32),
-                                  axis=0))
-        bundle = fr.from_mont(jnp.concatenate(parts, axis=0))
+            arrs.append(arr)
+            idx_devs.append(jnp.asarray(padded, jnp.int32))
+            lens.append(gp)
+        bundle = _gather_bundle(tuple(arrs), tuple(idx_devs))
         ints = fr.unpack_ints(bundle)
         out = []
         off = 0
-        for part, (_, idxs) in zip(parts, self._items):
+        for gp, (_, idxs) in zip(lens, self._items):
             out.append(ints[off:off + len(idxs)])
-            off += int(part.shape[0])
+            off += gp
         return out
+
+
+import jax as _jax
+
+
+@_jax.jit
+def _gather_bundle(arrs, idx_devs):
+    return fr.from_mont(jnp.concatenate(
+        [jnp.take(a, i, axis=0) for a, i in zip(arrs, idx_devs)], axis=0))
 
 
 # ---------------------------------------------------------------------------
@@ -162,32 +176,76 @@ def commit_layer_device(ell: int, n: int, m_ell: int, f_dev, s_dev,
                               hashed, tree, cfg)
 
 
+@lru_cache(maxsize=64)
+def _transcript_builder(n0: int, schedule: tuple):
+    """ONE jitted program for the whole fold + s-layer + commit pipeline
+    of a (n0, schedule) shape: the z_l fold challenges depend only on
+    (seed_z, l, n_l) (fri.rs:59-82), so they enter as traced fold-matrix
+    inputs and everything else (arities, hashed-leaf mode, DS rows, tree
+    level plans) is static.  Collapses ~10 dispatches per layer into one
+    call - eager dispatch on a remote-attached device costs ~ms each."""
+    L = len(schedule)
+    sizes = layer_sizes_from_schedule(n0, list(schedule))
+    metas = []
+    for ell in range(L + 1):
+        m_ell = schedule[ell] if ell < L else 1
+        arity = pick_arity_for_layer(sizes[ell], m_ell)
+        metas.append((arity, use_hashed_leaves(arity),
+                      MerkleChannelCfg.new(arity, tree_label=ell)))
+
+    def fn(f0, fold_mats):
+        f_layers = [f0]
+        cur = f0
+        for ell, m in enumerate(schedule):
+            n = int(cur.shape[0])
+            cur = fr.mat_apply(fold_mats[ell],
+                               cur.reshape(n // m, m, fr.N))[:, 0, :]
+            f_layers.append(cur)
+        s_layers = [s_layer_dev(f_layers[ell], f_layers[ell + 1],
+                                schedule[ell]) for ell in range(L)]
+        s_layers.append(jnp.zeros_like(f_layers[L]))
+        levels_all = []
+        for ell in range(L + 1):
+            arity, hashed, cfg = metas[ell]
+            if hashed:
+                leaves = fs.hash_leaf_pairs_dev(f_layers[ell], s_layers[ell])
+                tree = dmk.build_tree(leaves, cfg)
+            else:
+                tree = dmk.build_tree_pairs(f_layers[ell], s_layers[ell],
+                                            cfg)
+            levels_all.append(tuple(tree.levels_dev))
+        return tuple(f_layers), tuple(s_layers), tuple(levels_all)
+
+    return _jax.jit(fn)
+
+
 def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
                              seed_z: int) -> FriProverState:
     """fri.rs:231-312 with device folds/commits; FS sampling on host."""
     L = len(schedule)
-    f_layers = [f0_dev]
     z_layers, omega_layers = [], []
-    cur = f0_dev
     cur_size = domain0.size
     for ell, m in enumerate(schedule):
-        z = fri_sample_z_ell(seed_z, ell, cur_size)
-        z_layers.append(z)
+        z_layers.append(fri_sample_z_ell(seed_z, ell, cur_size))
         omega_layers.append(get_root_of_unity(cur_size))
-        cur = fold_layer_dev(cur, z, m)
         cur_size //= m
-        f_layers.append(cur)
 
-    s_layers = [s_layer_dev(f_layers[ell], f_layers[ell + 1], schedule[ell])
-                for ell in range(L)]
-    s_layers.append(jnp.zeros_like(f_layers[L]))
+    builder = _transcript_builder(domain0.size, tuple(schedule))
+    fold_mats = tuple(_fold_matrix_dev(z, m)
+                      for z, m in zip(z_layers, schedule))
+    f_layers, s_layers, levels_all = builder(f0_dev, fold_mats)
 
     layers = []
     for ell in range(L + 1):
         m_ell = schedule[ell] if ell < L else 1
-        layers.append(commit_layer_device(
-            ell, int(f_layers[ell].shape[0]), m_ell,
-            f_layers[ell], s_layers[ell], defer_root=True))
+        arity = pick_arity_for_layer(int(f_layers[ell].shape[0]), m_ell)
+        hashed = use_hashed_leaves(arity)
+        cfg = MerkleChannelCfg.new(arity, tree_label=ell)
+        tree = dmk.DeviceMerkleTree(list(levels_all[ell]), arity, cfg=cfg)
+        layers.append(FriLayerCommitment(
+            int(f_layers[ell].shape[0]), m_ell, None,
+            HostFieldView(f_layers[ell]), HostFieldView(s_layers[ell]),
+            hashed, tree, cfg))
 
     from ..utils import phase_timer
     with phase_timer("fri/roots_readback"):

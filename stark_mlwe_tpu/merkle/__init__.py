@@ -68,17 +68,19 @@ from functools import lru_cache
 
 @lru_cache(maxsize=None)
 def _ds_rows_dev(arity: int, level: int, g: int, tree_label: int):
-    """Device-resident DS preamble for positions 0..g-1 (identical for
-    every prove at the same shape - cached to skip the per-call numpy
-    build + host->device upload)."""
-    return jnp.asarray(ds_rows_mont(
-        arity, level, np.arange(g, dtype=np.uint64), tree_label))
+    """DS preamble for positions 0..g-1 (identical for every prove at the
+    same shape - cached to skip the per-call numpy build).  Cached as
+    HOST numpy, never jnp: tree builds run inside outer jit traces
+    (fri._transcript_builder), and a cached traced constant would leak
+    out of its trace."""
+    return ds_rows_mont(arity, level, np.arange(g, dtype=np.uint64),
+                        tree_label)
 
 
 @lru_cache(maxsize=None)
 def _ds_row_dev(arity: int, level: int, position: int, tree_label: int):
-    return jnp.asarray(ds_rows_mont(
-        arity, level, np.array([position], np.uint64), tree_label))
+    return ds_rows_mont(arity, level, np.array([position], np.uint64),
+                        tree_label)
 
 
 @partial(jax.jit, static_argnums=(2,))
