@@ -39,9 +39,21 @@ def main():
     print(f"# platform={jax.default_backend()}", file=sys.stderr)
     paper_baseline = {}
     out_path = os.environ.get("BENCH_CSV", "benchmarkdata.csv")
+    append = os.environ.get("BENCH_APPEND", "0") not in ("", "0")
+    if append and os.path.exists(out_path):
+        # staged sweeps: reuse recorded paper rows as the delta baseline
+        with open(out_path) as f:
+            for line in f:
+                p = line.strip().split(",")
+                if len(p) >= 8 and p[0] == "csv" and p[1] == "paper":
+                    paper_baseline[int(p[2])] = {
+                        "proof_bytes": int(p[4]), "prove_s": float(p[5]),
+                        "verify_ms": float(p[6]), "eps": float(p[7])}
     print(CSV_HEADER)
-    with open(out_path, "w") as f:  # incremental: partial sweeps persist
-        f.write(CSV_HEADER + "\n")
+    with open(out_path, "a" if append else "w") as f:
+        # incremental: partial sweeps persist
+        if not append:
+            f.write(CSV_HEADER + "\n")
         f.flush()
         for label, schedule in PRESETS:
             if labels_filter and label not in labels_filter:
@@ -72,8 +84,10 @@ def main():
         nizk_path = os.environ.get(
             "BENCH_NIZK_CSV",
             os.path.splitext(out_path)[0] + "_nizk.csv")
-        with open(nizk_path, "w") as f:
-            f.write("nizk,variant,k,proof_bytes,prove_s,verify_ms\n")
+        fresh = not (append and os.path.exists(nizk_path))
+        with open(nizk_path, "w" if fresh else "a") as f:
+            if fresh:
+                f.write("nizk,variant,k,proof_bytes,prove_s,verify_ms\n")
             for k in sorted(ks_filter or {12, 14, 16}):
                 r = run_plain_nizk(k)
                 line = (f"nizk,plain,{k},{r['proof_bytes']},"

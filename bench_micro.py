@@ -80,6 +80,12 @@ def main():
     sync(out)
     dt = (time.perf_counter() - t0) / reps
     emit("poseidon_t17_perms_per_s", B / dt, "perms/s")
+    from stark_mlwe_tpu.utils import roofline
+    rates = roofline.poseidon_rates(params, B / dt)
+    emit("poseidon_t17_field_muls_per_s", rates["field_muls_per_s"],
+         "muls/s")
+    emit("poseidon_t17_equiv_int16_macs_per_s",
+         rates["equiv_int16_macs_per_s"], "macs/s")
 
     # --- merkle build + open/verify -------------------------------------
     n = 1 << 16
@@ -117,6 +123,8 @@ def main():
     dt = time.perf_counter() - t0
     emit("ntt_2e20_elems_per_s", m / dt, "elems/s")
     emit("ntt_2e20_s", dt, "s")
+    emit("ntt_2e20_field_muls_per_s",
+         roofline.ntt_rates(m, dt)["field_muls_per_s"], "muls/s")
 
     # --- MLE commit + open (protocol.rs:39-64 parity) --------------------
     from stark_mlwe_tpu.channel import DeviceMerkleCommitment
