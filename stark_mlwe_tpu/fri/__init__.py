@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .. import merkle as dmk
@@ -111,10 +112,7 @@ class GatherBatch:
         return out
 
 
-import jax as _jax
-
-
-@_jax.jit
+@jax.jit
 def _gather_bundle(arrs, idx_devs):
     return fr.from_mont(jnp.concatenate(
         [jnp.take(a, i, axis=0) for a, i in zip(arrs, idx_devs)], axis=0))
@@ -216,7 +214,7 @@ def _transcript_builder(n0: int, schedule: tuple):
             levels_all.append(tuple(tree.levels_dev))
         return tuple(f_layers), tuple(s_layers), tuple(levels_all)
 
-    return _jax.jit(fn)
+    return jax.jit(fn)
 
 
 def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
