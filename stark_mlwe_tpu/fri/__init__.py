@@ -228,22 +228,46 @@ def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
         omega_layers.append(get_root_of_unity(cur_size))
         cur_size //= m
 
-    builder = _transcript_builder(domain0.size, tuple(schedule))
-    fold_mats = tuple(_fold_matrix_dev(z, m)
-                      for z, m in zip(z_layers, schedule))
-    f_layers, s_layers, levels_all = builder(f0_dev, fold_mats)
+    # The one-jit pipeline embeds the per-level DS rows as program
+    # constants; above ~2^18 the remote XLA compile of that program has
+    # been observed to hang (>70 min at k=19 on the axon tunnel), so
+    # very large shapes fall back to eager per-layer dispatch (the
+    # dispatch overhead it saves is amortized at those sizes anyway).
+    import os
+    max_n0 = int(os.environ.get("STARK_MEGAJIT_MAX_N0", str(1 << 18)))
+    if domain0.size <= max_n0:
+        builder = _transcript_builder(domain0.size, tuple(schedule))
+        fold_mats = tuple(_fold_matrix_dev(z, m)
+                          for z, m in zip(z_layers, schedule))
+        f_layers, s_layers, levels_all = builder(f0_dev, fold_mats)
 
-    layers = []
-    for ell in range(L + 1):
-        m_ell = schedule[ell] if ell < L else 1
-        arity = pick_arity_for_layer(int(f_layers[ell].shape[0]), m_ell)
-        hashed = use_hashed_leaves(arity)
-        cfg = MerkleChannelCfg.new(arity, tree_label=ell)
-        tree = dmk.DeviceMerkleTree(list(levels_all[ell]), arity, cfg=cfg)
-        layers.append(FriLayerCommitment(
-            int(f_layers[ell].shape[0]), m_ell, None,
-            HostFieldView(f_layers[ell]), HostFieldView(s_layers[ell]),
-            hashed, tree, cfg))
+        layers = []
+        for ell in range(L + 1):
+            m_ell = schedule[ell] if ell < L else 1
+            arity = pick_arity_for_layer(int(f_layers[ell].shape[0]), m_ell)
+            hashed = use_hashed_leaves(arity)
+            cfg = MerkleChannelCfg.new(arity, tree_label=ell)
+            tree = dmk.DeviceMerkleTree(list(levels_all[ell]), arity,
+                                        cfg=cfg)
+            layers.append(FriLayerCommitment(
+                int(f_layers[ell].shape[0]), m_ell, None,
+                HostFieldView(f_layers[ell]), HostFieldView(s_layers[ell]),
+                hashed, tree, cfg))
+    else:
+        f_layers = [f0_dev]
+        cur = f0_dev
+        for ell, m in enumerate(schedule):
+            cur = fold_layer_dev(cur, z_layers[ell], m)
+            f_layers.append(cur)
+        s_layers = [s_layer_dev(f_layers[ell], f_layers[ell + 1],
+                                schedule[ell]) for ell in range(L)]
+        s_layers.append(jnp.zeros_like(f_layers[L]))
+        layers = []
+        for ell in range(L + 1):
+            m_ell = schedule[ell] if ell < L else 1
+            layers.append(commit_layer_device(
+                ell, int(f_layers[ell].shape[0]), m_ell,
+                f_layers[ell], s_layers[ell], defer_root=True))
 
     from ..utils import phase_timer
     with phase_timer("fri/roots_readback"):
