@@ -50,9 +50,10 @@ def main():
                         "proof_bytes": int(p[4]), "prove_s": float(p[5]),
                         "verify_ms": float(p[6]), "eps": float(p[7])}
     print(CSV_HEADER)
-    with open(out_path, "a" if append else "w") as f:
+    fresh = not (append and os.path.exists(out_path))
+    with open(out_path, "w" if fresh else "a") as f:
         # incremental: partial sweeps persist
-        if not append:
+        if fresh:
             f.write(CSV_HEADER + "\n")
         f.flush()
         for label, schedule in PRESETS:

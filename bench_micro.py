@@ -126,6 +126,30 @@ def main():
     emit("ntt_2e20_field_muls_per_s",
          roofline.ntt_rates(m, dt)["field_muls_per_s"], "muls/s")
 
+    # --- north-star-scale NTT + LDE (BASELINE config 2) ------------------
+    m = 1 << 22
+    x = rand_mont(m)
+    y = ntt.ntt(x)
+    sync(y)
+    t0 = time.perf_counter()
+    y = ntt.ntt(x)
+    sync(y)
+    dt = time.perf_counter() - t0
+    emit("ntt_2e22_elems_per_s", m / dt, "elems/s")
+    emit("ntt_2e22_s", dt, "s")
+    emit("ntt_2e22_field_muls_per_s",
+         roofline.ntt_rates(m, dt)["field_muls_per_s"], "muls/s")
+
+    xl = x[:1 << 20]
+    yl = ntt.lde(xl, 4)  # iNTT 2^20 -> zero-pad -> NTT 2^22
+    sync(yl)
+    t0 = time.perf_counter()
+    yl = ntt.lde(xl, 4)
+    sync(yl)
+    dt = time.perf_counter() - t0
+    emit("lde_2e20_blowup4_s", dt, "s")
+    emit("lde_2e20_blowup4_out_elems_per_s", (1 << 22) / dt, "elems/s")
+
     # --- MLE commit + open (protocol.rs:39-64 parity) --------------------
     from stark_mlwe_tpu.channel import DeviceMerkleCommitment
 

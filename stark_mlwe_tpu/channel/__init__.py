@@ -435,14 +435,34 @@ import jax as _jax  # noqa: E402
 _plain_chain_jit = _partial(_jax.jit, static_argnums=(2,))(_plain_chain)
 
 
+_plain_builders: dict = {}
+
+
+def _plain_prove_builder(n: int, k: int, tree_label: int):
+    """Tree build + whole round chain as ONE jitted program (the eager
+    tree build paid ~6 tunnel dispatches, the bulk of the ~0.1 s floor
+    that made plain k=12 lose to the reference's CPU)."""
+    key = (n, k, tree_label)
+    fn = _plain_builders.get(key)
+    if fn is None:
+        cfg = DeviceMerkleCommitment(tree_label)._tree_cfg()
+
+        def body(values):
+            tree = dmk.build_tree(values, cfg)
+            root_dev = tree.levels_dev[-1][0]
+            return (root_dev,) + _plain_chain(values, root_dev, k)
+
+        fn = _plain_builders[key] = _jax.jit(body)
+    return fn
+
+
 def prove_plain(vk: VK, witness) -> ProofPlain:
     assert vk.variant == "plain"
     mle = (witness if isinstance(witness, DeviceMLE)
            else DeviceMLE.from_ints(list(witness)))
-    scheme = _scheme(MerkleChannelCfg(vk.tree_label))
-    tree = dmk.build_tree(mle.values_dev, scheme._tree_cfg())
-    root_dev = tree.levels_dev[-1][0]
-    s, cps, final = _plain_chain_jit(mle.values_dev, root_dev, vk.k)
+    n = int(mle.values_dev.shape[0])
+    root_dev, s, cps, final = _plain_prove_builder(
+        n, vk.k, vk.tree_label)(mle.values_dev)
     # ONE device->host transfer for every value the proof carries.
     bundle = fr.unpack_ints(fr.from_mont(jnp.concatenate(
         [root_dev[None], s[None], cps.reshape(-1, fr.N), final[None]],
@@ -526,27 +546,51 @@ def _mf_round_chal_dev(i: int, root_dev):
     return out[0, 0, :]
 
 
+_mf_builders: dict = {}
+
+
 def _mf_chain_device(mle: DeviceMLE, tree_cfg, k: int):
-    """All k rounds of fold/commit/challenge on device; no host syncs."""
-    trees = [dmk.build_tree(mle.values_dev, tree_cfg)]
-    layers = [mle]
-    cpairs = []
-    cur = mle
-    one_m = jnp.asarray(fr.MONT_ONE)
-    for i in range(k):
-        h = int(cur.values_dev.shape[0]) // 2
-        v = cur.values_dev.reshape(h, 2, fr.N)
-        c0 = fr.reduce_add(v[:, 0, :])
-        c1 = fr.sub(fr.reduce_add(v[:, 1, :]), c0)
-        cpairs.append((c0, c1))
-        root_dev = trees[i].levels_dev[-1][0]
-        r_dev = _mf_round_chal_dev(i, root_dev)
-        om_dev = fr.sub(one_m, r_dev)
-        nxt = fr.add(fr.mont_mul(om_dev[None, :], v[:, 0, :]),
-                     fr.mont_mul(r_dev[None, :], v[:, 1, :]))
-        cur = DeviceMLE(nxt)
-        layers.append(cur)
-        trees.append(dmk.build_tree(nxt, tree_cfg))
+    """All k rounds of fold -> commit -> root -> round challenge as ONE
+    jitted program (zero host syncs AND zero eager dispatches).  The
+    previous version built each tree level eagerly — ~6 tunnel dispatches
+    (~1 ms each) per round, which made MF k=12 2.5x slower than the
+    reference's single CPU core (channel/src/lib.rs:632-730,
+    protocol.rs:176-273).  Tree DS rows build in-trace from an iota
+    (merkle._ds_rows_iota), so program constants stay O(1)."""
+    n = int(mle.values_dev.shape[0])
+    key = (n, k, tree_cfg.arity, tree_cfg.tree_label)
+    fn = _mf_builders.get(key)
+    if fn is None:
+        one_np = fr.MONT_ONE
+
+        def body(values):
+            levels_all = [tuple(dmk.build_tree(values, tree_cfg).levels_dev)]
+            layer_vals = [values]
+            cpairs = []
+            cur = values
+            one_m = jnp.asarray(one_np)
+            for i in range(k):
+                h = int(cur.shape[0]) // 2
+                v = cur.reshape(h, 2, fr.N)
+                c0 = fr.reduce_add(v[:, 0, :])
+                c1 = fr.sub(fr.reduce_add(v[:, 1, :]), c0)
+                cpairs.append(jnp.stack([c0, c1], axis=0))
+                root_dev = levels_all[i][-1][0]
+                r_dev = _mf_round_chal_dev(i, root_dev)
+                om_dev = fr.sub(one_m, r_dev)
+                cur = fr.add(fr.mont_mul(om_dev[None, :], v[:, 0, :]),
+                             fr.mont_mul(r_dev[None, :], v[:, 1, :]))
+                layer_vals.append(cur)
+                levels_all.append(
+                    tuple(dmk.build_tree(cur, tree_cfg).levels_dev))
+            return tuple(layer_vals), tuple(levels_all), tuple(cpairs)
+
+        fn = _mf_builders[key] = _jax.jit(body)
+    layer_vals, levels_all, cpairs_t = fn(mle.values_dev)
+    layers = [mle] + [DeviceMLE(x) for x in layer_vals[1:]]
+    trees = [dmk.DeviceMerkleTree(list(lvls), tree_cfg.arity, cfg=tree_cfg)
+             for lvls in levels_all]
+    cpairs = [(cp[0], cp[1]) for cp in cpairs_t]
     return layers, trees, cpairs
 
 

@@ -228,13 +228,13 @@ def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
         omega_layers.append(get_root_of_unity(cur_size))
         cur_size //= m
 
-    # The one-jit pipeline embeds the per-level DS rows as program
-    # constants; above ~2^18 the remote XLA compile of that program has
-    # been observed to hang (>70 min at k=19 on the axon tunnel), so
-    # very large shapes fall back to eager per-layer dispatch (the
-    # dispatch overhead it saves is amortized at those sizes anyway).
+    # The one-jit pipeline used to embed per-level DS rows as O(n)
+    # program constants, which hung the remote XLA compile above 2^18;
+    # merkle._ds_rows_iota now computes them in-trace from an iota, so
+    # the program size is O(depth) and the pipeline compiles at any n0.
+    # The env cap remains as an escape hatch to the eager per-layer path.
     import os
-    max_n0 = int(os.environ.get("STARK_MEGAJIT_MAX_N0", str(1 << 18)))
+    max_n0 = int(os.environ.get("STARK_MEGAJIT_MAX_N0", str(1 << 22)))
     if domain0.size <= max_n0:
         builder = _transcript_builder(domain0.size, tuple(schedule))
         fold_mats = tuple(_fold_matrix_dev(z, m)
@@ -333,31 +333,57 @@ class DeviceDeepAliRealBuilder:
 
         host_cols = _host_mont_cols((a, s, e, t))
         tags = [b"ALI/A", b"ALI/S", b"ALI/E", b"ALI/T"]
+        from ..ops import poseidon as dpos
+        # The sponge chain is latency-bound (one permutation per rate
+        # block, strictly sequential).  The host IFMA engine runs the
+        # 4 column chains in duplicated-lane mode (two MDS rows / two
+        # q-columns / two S-boxes per vector, poseidon_ifma.cpp) at
+        # ~92us/block vs ~210us/block for the TPU lane-parallel
+        # kernel, and saves the digest readback sync.
+        # STARK_CHAIN=tpu|native overrides.
+        import os
+        pref = os.environ.get("STARK_CHAIN", "auto")
+        use_native = (host_cols is not None and native.available()
+                      and (pref == "native"
+                           or (pref == "auto"
+                               and (native.ifma_available()
+                                    or not dpos._pallas_enabled()))))
+        if use_native and pref != "tpu":
+            # The absorb chain is ~50% of prove wall-time at k>=16 and is
+            # inherently sequential; overlap it with everything that has
+            # no (z, beta) dependence: the device witness upload, the
+            # phi = a*s + e - t merge, and the omega power table.  The
+            # ctypes call releases the GIL, and the main thread mostly
+            # blocks on tunnel I/O, so the IFMA chain keeps the core.
+            import threading
+            res: dict = {}
+            th = threading.Thread(
+                target=lambda: res.update(
+                    h=fs.tagged_hash_cols_native(tags, host_cols)))
+            with phase_timer("ali/column_hashes+overlap"):
+                th.start()
+                a_d, s_d, e_d, t_d = (jnp.asarray(c) for c in host_cols)
+                w = dali.omega_powers(domain.omega, n0)
+                phi0 = dali.phi_kernel(a_d, s_d, e_d, t_d)
+                r_dev = (_as_mont_dev(self.r_eval_opt)
+                         if (self.use_blinding
+                             and self.r_eval_opt is not None) else None)
+                th.join()
+            ha, hs, he, ht = res["h"]
+            seed_f = fs.one_block_tagged_hash_batch(
+                b"ALI/seed", [[ha, hs, he, ht, n0 % P]])[0]
+            z, beta = ali_sample_z_beta_fs(self.ds_tag, n0, seed_f)
+            return dali.f0_from_phi(
+                phi0, w, z, beta=beta,
+                r_eval=r_dev if self.use_blinding else None)
+
         if host_cols is not None:
             a, s, e, t = (jnp.asarray(c) for c in host_cols)
         else:
             a, s, e, t = map(_as_mont_dev, (a, s, e, t))
-        from ..ops import poseidon as dpos
         with phase_timer("ali/column_hashes"):
-            # The sponge chain is latency-bound (one permutation per rate
-            # block, strictly sequential).  The host IFMA engine runs the
-            # 4 column chains in duplicated-lane mode (two MDS rows / two
-            # q-columns / two S-boxes per vector, poseidon_ifma.cpp) at
-            # ~92us/block vs ~210us/block for the TPU lane-parallel
-            # kernel, and saves the digest readback sync.
-            # STARK_CHAIN=tpu|native overrides.
-            import os
-            pref = os.environ.get("STARK_CHAIN", "auto")
-            use_native = (host_cols is not None and native.available()
-                          and (pref == "native"
-                               or (pref == "auto"
-                                   and (native.ifma_available()
-                                        or not dpos._pallas_enabled()))))
-            if use_native and pref != "tpu":
-                ha, hs, he, ht = fs.tagged_hash_cols_native(tags, host_cols)
-            else:
-                stacked = jnp.stack([a, s, e, t], axis=0)
-                ha, hs, he, ht = fs.tagged_hash_vecs(tags, stacked)
+            stacked = jnp.stack([a, s, e, t], axis=0)
+            ha, hs, he, ht = fs.tagged_hash_vecs(tags, stacked)
         seed_f = fs.one_block_tagged_hash_batch(
             b"ALI/seed", [[ha, hs, he, ht, n0 % P]])[0]
         z, beta = ali_sample_z_beta_fs(self.ds_tag, n0, seed_f)

@@ -55,6 +55,29 @@ def _merge_kernel_blinded(a, s, e, t, r, beta_m, w, z_m, scale_m):
     return f0, phi_z
 
 
+@jax.jit
+def phi_kernel(a, s, e, t):
+    """phi = a*s + e - t.  Split out of the merge so it can be dispatched
+    while the Fiat-Shamir column absorb chain is still running on the
+    host — phi has no (z, beta) dependence (deep_ali/src/lib.rs:60-77)."""
+    return fr.sub(fr.add(fr.mont_mul(a, s), e), t)
+
+
+@jax.jit
+def _f0_quotient(phi, w, z_m):
+    return fr.mont_mul(phi, fr.batch_inv(fr.sub(w, z_m[None, :])))
+
+
+def f0_from_phi(phi0, w, z: int, beta: int = 0, r_eval=None):
+    """f0 = (phi0 [+ beta*r]) / (w - z); same op order as _merge_kernel /
+    _merge_kernel_blinded, so results are bit-identical."""
+    z_m = jnp.asarray(fr.pack_int(z, mont=True))
+    if r_eval is not None:
+        beta_m = jnp.asarray(fr.pack_int(beta, mont=True))
+        phi0 = fr.add(phi0, fr.mont_mul(beta_m[None, :], r_eval))
+    return _f0_quotient(phi0, w, z_m)
+
+
 def omega_powers(omega: int, n: int):
     """Device power table [1, w, ..., w^(n-1)] (Montgomery)."""
     base = jnp.asarray(fr.pack_int(omega, mont=True))

@@ -66,6 +66,50 @@ def _hash_level_ds(ds_rows, chunks, dp):
 from functools import lru_cache
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _ds_rows_iota(arity: int, level: int, g: int, tree_label: int):
+    """[g, 4, 16] Montgomery DS preambles computed ON DEVICE from an iota.
+
+    The only non-constant column is the position; building it from
+    `jnp.arange` + `fr.to_mont` keeps the program constants O(1), so a
+    tree build inside an outer jit (fri._transcript_builder, the MF round
+    chain) no longer bakes an O(n) table into the program — that table
+    was what hung the remote XLA compile above n0=2^18.  Eager large
+    builds also skip the tens-of-MB host build + upload per call."""
+    consts = fr.pack_ints([arity, level, tree_label], mont=True)
+    i = jnp.arange(g, dtype=fr.U32)
+    zero = jnp.zeros_like(i)
+    pos = jnp.stack([i & jnp.uint32(0xFFFF), i >> jnp.uint32(16)]
+                    + [zero] * (fr.N - 2), axis=-1)
+    pos_m = fr.to_mont(pos)
+    c = jnp.asarray(consts)
+    row = lambda j: jnp.broadcast_to(c[j][None, :], (g, fr.N))
+    return jnp.stack([row(0), row(1), pos_m, row(2)], axis=1)
+
+
+@lru_cache(maxsize=None)
+def _ds_rows_dev_cached(arity: int, level: int, g: int, tree_label: int):
+    """Device-resident DS preamble cache for EAGER small builds (skips the
+    per-call host->device re-upload).  Never returned into a trace — a
+    cached concrete array would become a program constant there; traced
+    callers go through `_ds_rows_iota` instead."""
+    return jnp.asarray(ds_rows_mont(arity, level,
+                                    np.arange(g, dtype=np.uint64),
+                                    tree_label))
+
+
+# Above this, even eager builds use the on-device iota construction (the
+# numpy build + upload costs more than computing 2 limbs + to_mont there).
+_DS_IOTA_MIN_G = 1 << 14
+
+
+def _ds_rows_for(arity: int, level: int, g: int, tree_label: int,
+                 traced: bool):
+    if traced or g >= _DS_IOTA_MIN_G:
+        return _ds_rows_iota(arity, level, g, tree_label)
+    return _ds_rows_dev_cached(arity, level, g, tree_label)
+
+
 @lru_cache(maxsize=None)
 def _ds_rows_dev(arity: int, level: int, g: int, tree_label: int):
     """DS preamble for positions 0..g-1 (identical for every prove at the
@@ -185,6 +229,7 @@ def build_tree(leaves_mont, cfg: MerkleChannelCfg) -> DeviceMerkleTree:
     assert width_for_arity(cfg.arity) == cfg.params.t
     dp = dpos.device_params(cfg.params)
     arity = cfg.arity
+    traced = isinstance(leaves_mont, jax.core.Tracer)
     levels = [leaves_mont]
     level = 0
     cur = leaves_mont
@@ -193,7 +238,7 @@ def build_tree(leaves_mont, cfg: MerkleChannelCfg) -> DeviceMerkleTree:
         full = n // arity
         outs = []
         if full:
-            ds = _ds_rows_dev(arity, level, full, cfg.tree_label)
+            ds = _ds_rows_for(arity, level, full, cfg.tree_label, traced)
             chunks = cur[:full * arity].reshape(full, arity, fr.N)
             outs.append(_hash_level_ds(ds, chunks, dp))
         if n % arity:
@@ -211,7 +256,8 @@ def hash_pair_leaves(f_mont, cp_mont, cfg: MerkleChannelCfg):
     (merkle/src/lib.rs:378-388), batched."""
     n = int(f_mont.shape[0])
     dp = dpos.device_params(cfg.params)
-    ds = _ds_rows_dev(cfg.arity, LEAF_LEVEL_DS, n, cfg.tree_label)
+    ds = _ds_rows_for(cfg.arity, LEAF_LEVEL_DS, n, cfg.tree_label,
+                      isinstance(f_mont, jax.core.Tracer))
     inputs = jnp.stack([f_mont, cp_mont], axis=1)
     return _hash_level_ds(ds, inputs, dp)
 

@@ -79,9 +79,15 @@ def _butterflies(x, tws):
 
 # Per-size health of the fused Pallas route: some toolchains spill the
 # n1=1024 tile kernel out of VMEM (seen at n=2^20 on v5e libtpu 2026-08);
-# the first eager call probes with a blocking execute and a failure pins
-# the size to the XLA butterfly path for the rest of the process.
+# the first eager call probes with a blocking execute.  Failures are
+# classified by CAUSE, not by resource-exhausted phrasing: compile /
+# lowering failures (Mosaic, VMEM limits — however worded) pin the size
+# to the XLA butterfly path for the process lifetime, while transient
+# axon-tunnel errors (remote_compile / HTTP 5xx) are retried on later
+# calls up to a bounded count before pinning.
 _pallas_size_ok: dict = {}
+_pallas_transient_fails: dict = {}
+_PALLAS_TRANSIENT_RETRIES = 3
 
 
 def _pallas_route(x, n: int, inverse: bool):
@@ -99,20 +105,26 @@ def _pallas_route(x, n: int, inverse: bool):
         _pallas_size_ok[n] = True
         return out
     except Exception as exc:
-        # Pin only on compile/lowering-shaped failures (VMEM spill, Mosaic
-        # lowering); a transient runtime error (e.g. device OOM from
-        # unrelated pressure) must not disable the route for the process
-        # lifetime.  Either way the degradation is logged so silent route
-        # changes are visible.
         import sys
         msg = str(exc).lower()
-        transient = "resource_exhausted" in msg or "out of memory" in msg
-        permanent = not transient
-        if permanent:
+        tunnel = ("remote_compile" in msg or "http" in msg
+                  or "unavailable" in msg or "deadline" in msg)
+        if tunnel:
+            cnt = _pallas_transient_fails.get(n, 0) + 1
+            _pallas_transient_fails[n] = cnt
+            if cnt >= _PALLAS_TRANSIENT_RETRIES:
+                _pallas_size_ok[n] = False
+            verdict = ("pinned to" if cnt >= _PALLAS_TRANSIENT_RETRIES
+                       else f"retry {cnt}/{_PALLAS_TRANSIENT_RETRIES}, "
+                            "falling back once to")
+        else:
+            # compile/lowering-shaped (Mosaic, VMEM spill — including ones
+            # phrased as RESOURCE_EXHAUSTED): re-probing would redo a
+            # multi-minute remote compile just to fail again.
             _pallas_size_ok[n] = False
+            verdict = "pinned to"
         print(f"# ntt: pallas route n={n} failed "
-              f"({type(exc).__name__}); {'pinned to' if permanent else 'falling back once to'} "
-              f"XLA path", file=sys.stderr)
+              f"({type(exc).__name__}); {verdict} XLA path", file=sys.stderr)
         return None
 
 

@@ -39,14 +39,14 @@ from .poseidon_pallas import (P_ROW_NP, _add_bl, _cat_bl, _cols_bl, _mul_bl,
                               _prow_scope)
 
 TB = 128
-L_MAX = 1024           # transform length per kernel (VMEM-bound)
+L_TILE = 512           # max transform length per kernel launch: the
+#                        1024-tile body register-spills ~132 MB past VMEM
+#                        on current v5e toolchains (measured 2026-08:
+#                        libtpu AOT "Ran out of memory in vmem")
 N_MIN = 1 << 12        # below this the XLA path wins (launch overhead)
-# Four-step supports n1, n2 <= L_MAX (2^20), but the n1=1024-tile body
-# register-spills ~132 MB past VMEM on current v5e toolchains (measured
-# 2026-08: libtpu AOT "Ran out of memory in memory space vmem"), so the
-# route caps at 2^18; ops/ntt.py self-heals to the jitted XLA butterflies
-# above it (and on any future toolchain where this kernel fails).
-N_MAX = 1 << 18
+# Large transforms recurse: n = m1*m2 four-steps until the transform
+# length fits one L_TILE kernel (2^22 = 512 x (128 x 64) -> 3 launches).
+N_MAX = 1 << 22
 
 
 def _sub_bl(a, b):
@@ -87,40 +87,52 @@ def _stage_table(L: int, omega_L: int) -> np.ndarray:
     return out
 
 
+def _split(M: int):
+    """m1 (tile length) x m2 (column count) for the four-step of size M.
+    Prefers m2 a multiple of TB so the kernel reads the step-1 twiddle
+    table with a modular block index (no materialized broadcast)."""
+    k = M.bit_length() - 1
+    m1 = min(L_TILE, 1 << ((k + 1) // 2))
+    m2 = M // m1
+    while m2 < TB and m1 > 2:
+        m1 //= 2
+        m2 *= 2
+    return m1, m2
+
+
 @lru_cache(maxsize=None)
-def _four_step_consts(n: int, inverse: bool):
-    """(n1, n2, rev1, rev2, wt1, wt2, ep) with ep the [n1, 16, n2]
-    batch-last step-2 twiddle (times 1/n when inverse)."""
-    assert pallas_ntt_supported(n)
-    k = n.bit_length() - 1
-    n1 = min(L_MAX, 1 << ((k + 1) // 2))
-    n2 = n // n1
-    assert n2 <= L_MAX
-    omega = get_root_of_unity(n)
+def _tile_consts(L: int, inverse: bool):
+    """(bit-reversal, stage twiddle table) for a size-L tile transform.
+    Concrete-value guard: lru_cached, and the first call may come from
+    inside a jit/vmap trace — caching tracers poisons later traces (see
+    ops/ntt._plan)."""
+    omega = get_root_of_unity(L)
     if inverse:
         omega = pow(omega, P - 2, P)
-    w1 = pow(omega, n2, P)        # root of the size-n1 subgroup
-    w2 = pow(omega, n1, P)        # root of the size-n2 subgroup
-    # Concrete-value guard: these are lru_cached, and the first call may
-    # come from inside a jit/vmap trace — caching tracers poisons later
-    # traces (see ops/ntt._plan).
     with jax.ensure_compile_time_eval():
-        rev1 = jnp.asarray(_bit_reverse_perm(n1))
-        rev2 = jnp.asarray(_bit_reverse_perm(n2))
-        wt1 = jnp.asarray(_stage_table(n1, w1))
-        wt2 = jnp.asarray(_stage_table(n2, w2))
-        # ep[j1, :, i2] = limbs(omega^(i2*j1) [* 1/n]) - device-built rows
-        # of geometric series (host pows at n=2^20 would be ~1M bigints).
-        scale = pow(n, P - 2, P) if inverse else 1
+        rev = jnp.asarray(_bit_reverse_perm(L))
+        wt = jnp.asarray(_stage_table(L, omega))
+    return rev, wt
+
+
+@lru_cache(maxsize=None)
+def _step_ep(M: int, m1: int, m2: int, inverse: bool, scaled: bool):
+    """ep[j1, :, i2] = limbs(omega_M^(i2*j1) [* 1/M when scaled inverse])
+    — device-built rows of geometric series (host pows at M=2^22 would be
+    ~4M bigints)."""
+    omega = get_root_of_unity(M)
+    if inverse:
+        omega = pow(omega, P - 2, P)
+    scale = pow(M, P - 2, P) if (inverse and scaled) else 1
+    with jax.ensure_compile_time_eval():
         w_m = jnp.asarray(fr.pack_int(omega, mont=True))
-        bases = fr.powers(w_m, n2)                    # [n2, 16]: omega^i2
-        rows = jax.vmap(lambda b: fr.powers(b, n1))(bases)  # [n2, n1, 16]
+        bases = fr.powers(w_m, m2)                    # [m2, 16]: omega^i2
+        rows = jax.vmap(lambda b: fr.powers(b, m1))(bases)  # [m2, m1, 16]
         if scale != 1:
             s_m = jnp.asarray(fr.pack_int(scale, mont=True))
             rows = fr.mont_mul(rows, s_m[None, None, :])
-        ep = jnp.swapaxes(rows, 0, 1)                 # [n1, n2, 16]
-        ep = jnp.moveaxis(ep, 1, -1)                  # [n1, 16, n2]
-    return n1, n2, rev1, rev2, wt1, wt2, ep
+        ep = jnp.transpose(rows, (1, 2, 0))           # [m1, 16, m2]
+    return ep
 
 
 # ---------------------------------------------------------------------------
@@ -153,8 +165,10 @@ def _ntt_kernel(nstages, has_ep, wt_ref, prow_ref, *rest):
 
 @partial(jax.jit, static_argnums=(3,))
 def _ntt_tiles(x, wt, ep, interpret):
-    """x [L, 16, B] bit-reversed input, B multiple of TB; ep [L, 16, B]
-    epilogue multiplier or None."""
+    """x [L, 16, B] bit-reversed input, B multiple of TB; ep an epilogue
+    multiplier of shape [L, 16, B] or, PERIODIC, [L, 16, ep_cols] with
+    ep_cols | B and ep_cols a multiple of TB (lanes ordered (outer,
+    i2): each TB block re-reads twiddle block i % (ep_cols/TB))."""
     L, _, B = x.shape
     nstages = L.bit_length() - 1
     grid = (B // TB,)
@@ -167,7 +181,14 @@ def _ntt_tiles(x, wt, ep, interpret):
     ]
     args = [wt, jnp.asarray(P_ROW_NP)]
     if has_ep:
-        specs.append(pl.BlockSpec((L, N, TB), lambda i: (0, 0, i),
+        ep_cols = ep.shape[-1]
+        if ep_cols == B:
+            ep_map = lambda i: (0, 0, i)
+        else:
+            assert ep_cols % TB == 0 and B % ep_cols == 0, (ep_cols, B)
+            period = ep_cols // TB
+            ep_map = lambda i: (0, 0, i % period)
+        specs.append(pl.BlockSpec((L, N, TB), ep_map,
                                   memory_space=pltpu.VMEM))
         args.append(ep)
     specs.append(pl.BlockSpec((L, N, TB), lambda i: (0, 0, i),
@@ -195,25 +216,56 @@ def _batched(xb, rev, wt, ep=None, interpret=False):
     if pad:
         xb = jnp.concatenate(
             [xb, jnp.zeros((L, N, pad), dtype=U32)], axis=-1)
-        if ep is not None:
+        if ep is not None and ep.shape[-1] == B:
             ep = jnp.concatenate(
                 [ep, jnp.zeros((L, N, pad), dtype=U32)], axis=-1)
     out = _ntt_tiles(xb, wt, ep, interpret)
     return out[..., :B] if pad else out
 
 
+def _transform_any(xb, inverse: bool, interpret: bool,
+                   scale_top: bool = False):
+    """Batched in-order size-M NTTs down axis 0: xb [M, 16, B] -> same.
+
+    M <= L_TILE runs as one kernel launch; larger M recurses through the
+    four-step (columns -> fused twiddle epilogue -> rows), so n = 2^22 is
+    512 x (128 x 64) = 3 launches with every butterfly VMEM-resident.
+    scale_top folds the inverse transform's 1/M into the step-1 epilogue
+    (applied exactly once, at the outermost level)."""
+    M, _, B = (int(d) for d in xb.shape)
+    if M <= L_TILE:
+        rev, wt = _tile_consts(M, inverse)
+        ep = None
+        if scale_top and inverse:
+            s = pow(M, P - 2, P)
+            with jax.ensure_compile_time_eval():
+                row = jnp.asarray(fr.pack_int(s, mont=True))
+            ep = jnp.broadcast_to(row[None, :, None], (M, N, B))
+        return _batched(xb, rev, wt, ep, interpret)
+    m1, m2 = _split(M)
+    ep = _step_ep(M, m1, m2, inverse, scale_top and inverse)
+    if m2 % TB:
+        # a TB lane block would straddle outer-batch boundaries (the i2
+        # pattern repeats faster than a block): materialize the broadcast
+        ep = jnp.broadcast_to(ep[:, :, None, :],
+                              (m1, N, B, m2)).reshape(m1, N, B * m2)
+    # columns: i = i1*m2 + i2 -> transform over i1 for each (b, i2)
+    cols = xb.reshape(m1, m2, N, B)
+    colb = jnp.transpose(cols, (0, 2, 3, 1)).reshape(m1, N, B * m2)
+    rev1, wt1 = _tile_consts(m1, inverse)
+    y = _batched(colb, rev1, wt1, ep, interpret)      # [j1, 16, (b, i2)]
+    # rows: transform over i2 (size m2) for each (b, j1)
+    y = y.reshape(m1, N, B, m2)
+    rowb = jnp.transpose(y, (3, 1, 0, 2)).reshape(m2, N, m1 * B)
+    r = _transform_any(rowb, inverse, interpret)      # [j2, 16, (j1, b)]
+    # X[j1 + m1*j2] per b
+    r = r.reshape(m2, N, m1, B)
+    return jnp.transpose(r, (0, 2, 1, 3)).reshape(M, N, B)
+
+
 def ntt(x, inverse: bool = False, interpret: bool = False):
-    """Four-step Pallas NTT of x [n, 16] Montgomery, in-order in/out.
-    Bit-exact with ops.ntt.ntt (including the 1/n scale when inverse)."""
+    """Recursive four-step Pallas NTT of x [n, 16] Montgomery, in-order
+    in/out.  Bit-exact with ops.ntt.ntt (incl. the 1/n inverse scale)."""
     n = int(x.shape[0])
-    n1, n2, rev1, rev2, wt1, wt2, ep = _four_step_consts(n, inverse)
-    # columns: i = i1*n2 + i2 -> transform over i1 for each i2
-    cols = x.reshape(n1, n2, N)                       # [i1, i2, 16]
-    xb = jnp.moveaxis(cols, 1, -1)                    # [n1, 16, n2]
-    y = _batched(xb, rev1, wt1, ep, interpret)        # [j1, 16, i2]
-    # rows: transform over i2 for each j1
-    rb = jnp.swapaxes(y, 0, 2)                        # [i2, 16, j1]
-    r = _batched(rb, rev2, wt2, None, interpret)      # [j2, 16, j1]
-    # X[j1 + n1*j2]
-    out = jnp.moveaxis(r, -1, 1)                      # [j2, j1, 16]
-    return out.reshape(n, N)
+    out = _transform_any(x[:, :, None], inverse, interpret, scale_top=True)
+    return out[:, :, 0]

@@ -100,6 +100,25 @@ def test_chain_lanes_interpret_matches_spec():
     assert got == want
 
 
+@pytest.mark.parametrize("t", [65, 129])
+def test_wide_permute_device_matches_spec(t):
+    """Default-on compiled bit-exactness of the wide kernels behind the
+    uni128* presets (t=65/129) — runs whenever the backend is TPU (fast
+    there); the interpret-mode variant below stays HEAVY-gated for CPU."""
+    import jax
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled wide-kernel check needs the TPU backend")
+    from stark_mlwe_tpu.ops import poseidon_wide as pw
+
+    params = spos.params_for_width(t)
+    dp = dpos.device_params(params)
+    s = rand_elems(t)
+    dev = jnp.asarray(fr.pack_ints(s, mont=True)).reshape(1, t, fr.N)
+    out = pw.permute(dev, dp)
+    got = fr.unpack_ints(out.reshape(-1, fr.N), mont=True)
+    assert got == spos.permute(s, params)
+
+
 @pytest.mark.parametrize("t", [
     pytest.param(65, marks=[] if HEAVY else pytest.mark.skip(
         reason="~4 min interpret run (STARK_TESTS_HEAVY=1)")),

@@ -29,6 +29,11 @@ CASES = [
     (8, 6, [4, 4]),
     (2, 7, [16]),
     (8, 7, [16]),
+    # realistic shape: the paper schedule at k=12 exercises hashed-leaf
+    # arity-16 sharded subtrees with MULTIPLE local levels (512->32->2),
+    # the gathered frontier + partial tail groups, and the replicated
+    # deep tail all at once (VERDICT r4 item 7; fri.rs:601-641).
+    (8, 12, [16, 16, 8]),
 ]
 
 _single_cache = {}
