@@ -96,7 +96,7 @@ def main():
                 print(line, flush=True)
                 f.write(line + "\n")
                 f.flush()
-            for k in sorted((ks_filter or {12, 14}) & {12, 14} or {12, 14}):
+            for k in sorted(ks_filter or {12, 14, 16}):
                 r = run_mf_nizk(k)
                 line = (f"nizk,mf,{k},{r['proof_bytes']},"
                         f"{r['prove_s']:.6f},{r['verify_ms']:.3f}")

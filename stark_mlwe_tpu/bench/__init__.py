@@ -111,6 +111,28 @@ def csv_line(label, k, schedule, proof_bytes, prove_s, verify_ms,
             f"{d[3]:.2f}")
 
 
+def warm_retry(fn, *args, attempts: int = 4):
+    """Run a warmup/compile call, retrying transient axon-tunnel failures
+    (remote_compile / HTTP 5xx / UNAVAILABLE — documented flaky; a retry
+    resumes from the persistent compile cache, so little work is lost)."""
+    import sys
+
+    for a in range(attempts):
+        try:
+            return fn(*args)
+        except Exception as e:
+            msg = str(e).lower()
+            transient = ("remote_compile" in msg or "http" in msg
+                         or "unavailable" in msg or "deadline" in msg
+                         or "response body" in msg)
+            if transient and a + 1 < attempts:
+                print(f"# warmup transient failure (attempt {a + 1}/"
+                      f"{attempts}): {type(e).__name__}; retrying",
+                      file=sys.stderr, flush=True)
+                continue
+            raise
+
+
 def _reps_for_k(k: int) -> int:
     """Criterion-style repetition: more samples where runs are short."""
     if k <= 13:
@@ -151,7 +173,7 @@ def run_mf_fri(label: str, k: int, warmup: bool = True,
     if reps is None:
         reps = _reps_for_k(k)
     if warmup:  # compile all shapes once
-        deep_fri_prove(builder, da, ds_, de, dt_, n0, params)
+        warm_retry(deep_fri_prove, builder, da, ds_, de, dt_, n0, params)
 
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -184,7 +206,7 @@ def run_plain_nizk(k: int, seed: int = 42, warmup: bool = True):
     witness = [rng.ark_fr_rand() for _ in range(1 << k)]
     vk = build_vk_plain(k, ds_tag=0xA11CE)
     if warmup:
-        prove_plain(vk, witness)
+        warm_retry(prove_plain, vk, witness)
     t0 = time.perf_counter()
     proof = prove_plain(vk, witness)
     prove_s = time.perf_counter() - t0
@@ -207,7 +229,7 @@ def run_mf_nizk(k: int, queries_per_round: int = 3, seed: int = 43,
     witness = [rng.ark_fr_rand() for _ in range(1 << k)]
     vk = build_vk_mf(k, ds_tag=0xB0B, queries_per_round=queries_per_round)
     if warmup:
-        prove_mf(vk, witness)
+        warm_retry(prove_mf, vk, witness)
     t0 = time.perf_counter()
     proof = prove_mf(vk, witness)
     prove_s = time.perf_counter() - t0

@@ -362,12 +362,26 @@ class DeviceDeepAliRealBuilder:
                     h=fs.tagged_hash_cols_native(tags, host_cols)))
             with phase_timer("ali/column_hashes+overlap"):
                 th.start()
-                a_d, s_d, e_d, t_d = (jnp.asarray(c) for c in host_cols)
+                phi16 = (None if self.use_blinding
+                         else native.phi_batch_u16(
+                             [native.u32limbs_to_u64(c)
+                              for c in host_cols]))
+                if phi16 is not None:
+                    # host-merged phi: ONE half-width column upload
+                    # instead of four full-width witness columns (the
+                    # ~50 MB/s h2d tunnel made the uploads the bulk of
+                    # this window at k >= 17)
+                    phi0 = jnp.asarray(phi16)
+                    r_dev = None
+                else:
+                    a_d, s_d, e_d, t_d = (jnp.asarray(c)
+                                          for c in host_cols)
+                    phi0 = dali.phi_kernel(a_d, s_d, e_d, t_d)
+                    r_dev = (_as_mont_dev(self.r_eval_opt)
+                             if (self.use_blinding
+                                 and self.r_eval_opt is not None)
+                             else None)
                 w = dali.omega_powers(domain.omega, n0)
-                phi0 = dali.phi_kernel(a_d, s_d, e_d, t_d)
-                r_dev = (_as_mont_dev(self.r_eval_opt)
-                         if (self.use_blinding
-                             and self.r_eval_opt is not None) else None)
                 th.join()
             ha, hs, he, ht = res["h"]
             seed_f = fs.one_block_tagged_hash_batch(

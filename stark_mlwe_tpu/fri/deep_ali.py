@@ -65,6 +65,8 @@ def phi_kernel(a, s, e, t):
 
 @jax.jit
 def _f0_quotient(phi, w, z_m):
+    # phi may arrive as uint16 limbs (half-width upload form)
+    phi = phi.astype(fr.U32)
     return fr.mont_mul(phi, fr.batch_inv(fr.sub(w, z_m[None, :])))
 
 

@@ -116,6 +116,8 @@ def _get_lib():
         lib.poseidon_factorize.restype = ctypes.c_int
         lib.fr_to_mont_batch.argtypes = [u64p, ctypes.c_long, u64p]
         lib.fr_from_mont_batch.argtypes = [u64p, ctypes.c_long]
+        lib.fr_phi_batch.argtypes = [u64p, u64p, u64p, u64p, u64p,
+                                     ctypes.c_long]
         _lib = lib
     except Exception:
         _load_failed = True
@@ -316,6 +318,30 @@ def u32limbs_to_u64(arr) -> np.ndarray:
     a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32).reshape(-1, 16))
     b = a.astype("<u2").tobytes()
     return np.frombuffer(b, dtype="<u8").reshape(-1, 4).copy()
+
+
+def u64_to_u16limbs(arr) -> np.ndarray:
+    """[n,4] uint64 limbs -> [n,16] uint16 16-bit limbs (pure numpy).
+    uint16 is the upload form: half the h2d bytes of the u32 packing; the
+    device casts back to u32 inside the consuming jit."""
+    b = np.ascontiguousarray(np.asarray(arr, dtype="<u8")).tobytes()
+    return np.frombuffer(b, dtype="<u2").reshape(-1, 16).copy()
+
+
+def phi_batch_u16(cols_u64):
+    """Host DEEP-ALI merge phi = a*s + e - t over Montgomery 4x64 columns;
+    returns [n,16] uint16 limbs ready for a half-width device upload, or
+    None when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    a64, s64, e64, t64 = (np.ascontiguousarray(c, dtype=np.uint64)
+                          for c in cols_u64)
+    n = a64.shape[0]
+    out = np.empty((n, 4), np.uint64)
+    lib.fr_phi_batch(_u64p(a64), _u64p(s64), _u64p(e64), _u64p(t64),
+                     _u64p(out), n)
+    return u64_to_u16limbs(out)
 
 
 def absorb_chains(states_ints, poss, cols_u64, params: PoseidonParams):

@@ -469,4 +469,28 @@ void fr_from_mont_batch(u64 *vals, long n) {
                                       vals + (size_t)i * 4);
 }
 
+// Fused DEEP-ALI witness merge, host side: out = a*s + e - t (Montgomery
+// 4x64 limbs, canonical < p out).  Lets the prover upload ONE phi column
+// instead of four witness columns (the h2d tunnel is ~50 MB/s; the four
+// uploads dominated the absorb-overlap window at k >= 17).  Bit-exact
+// with the device kernel fri/deep_ali.phi_kernel.
+void fr_phi_batch(const u64 *a, const u64 *s, const u64 *e, const u64 *t,
+                  u64 *out, long n) {
+#pragma omp parallel for schedule(static)
+  for (long i = 0; i < n; ++i) {
+    const size_t o = (size_t)i * 4;
+    u64 m[4];
+    fr_mul(a + o, s + o, m);
+    fr_add(m, e + o, m);
+    u64 nt[4];  // p - t (t canonical < p, so no borrow out)
+    u128 borrow = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 cur = (u128)PL[j] - (t + o)[j] - borrow;
+      nt[j] = (u64)cur;
+      borrow = (cur >> 64) ? 1 : 0;
+    }
+    fr_add(m, nt, out + o);
+  }
+}
+
 } // extern "C"

@@ -153,10 +153,11 @@ def ntt(x, inverse: bool = False, use_pallas: bool | None = None):
     """In-order radix-2 NTT of x: [n, 16] Montgomery.  With inverse=True
     computes the inverse transform including the 1/n scale.
 
-    On TPU, sizes in [2^12, 2^18] dispatch to the fused four-step Pallas
-    kernel (ops/ntt_pallas.py: all butterfly stages VMEM-resident, two
-    launches) with a self-healing fallback to the jitted XLA butterflies;
-    `use_pallas` forces the route for cross-checking."""
+    On TPU, sizes in [2^12, 2^22] dispatch to the fused recursive
+    four-step Pallas kernel (ops/ntt_pallas.py: all butterfly stages
+    VMEM-resident, 2-3 launches) with a self-healing fallback to the
+    jitted XLA butterflies; `use_pallas` forces the route for
+    cross-checking."""
     n = int(x.shape[0])
     if n == 1:
         return x

@@ -106,3 +106,28 @@ def test_relaxed_accumulation_extremes():
     assert got == want
     for st in got:
         assert all(0 <= v < P for v in st)
+
+
+def test_phi_batch_u16_matches_oracle():
+    """Host fr_phi_batch (a*s + e - t, Montgomery 4x64) vs the Python
+    oracle, through the uint16 half-width upload packing."""
+    import random
+
+    import numpy as np
+
+    from stark_mlwe_tpu import native
+    from stark_mlwe_tpu.ops import fr
+    from stark_mlwe_tpu.spec.field import P
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = random.Random(0xF00D)
+    n = 513  # odd: no alignment assumptions
+    cols = [[rng.randrange(P) for _ in range(n)] for _ in range(4)]
+    packed = [fr.pack_ints(c, mont=True) for c in cols]
+    phi16 = native.phi_batch_u16([native.u32limbs_to_u64(p)
+                                  for p in packed])
+    got = fr.unpack_ints(phi16.astype(np.uint32), mont=True)
+    want = [(a * s + e - t) % P for a, s, e, t in zip(*cols)]
+    assert got == want
