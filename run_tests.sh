@@ -29,4 +29,7 @@ python -m pytest $CPU_FILES -q || fail=1
 echo "== device tests (platform: $plat)"
 STARK_TESTS_PLATFORM=$plat python -m pytest $DEV_FILES -q || fail=1
 
+echo "== multi-host backend (2-process gloo) smoke"
+python scripts/distributed_smoke.py || fail=1
+
 exit $fail

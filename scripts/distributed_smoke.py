@@ -26,14 +26,21 @@ def child(coordinator: str, nproc: int, pid: int) -> None:
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
 
+    # distributed init must precede ANY backend-touching import (the main
+    # package builds device constants at import time), so go through the
+    # thin side-effect-free module first.  The axon sitecustomize
+    # re-forces JAX_PLATFORMS=axon at interpreter startup; the config
+    # update below is authoritative (same dance as tests/conftest.py).
     import jax
+    jax.config.update("jax_platforms", "cpu")
+    from stark_mlwe_tpu.distributed import initialize_distributed
+    initialize_distributed("127.0.0.1:" + coordinator, nproc, pid)
     import jax.numpy as jnp
     from jax import shard_map
     from jax.sharding import PartitionSpec as PS
 
     from stark_mlwe_tpu import parallel as par
-
-    par.initialize_distributed("127.0.0.1:" + coordinator, nproc, pid)
+    assert par.initialize_distributed is initialize_distributed
     assert jax.process_count() == nproc, jax.process_count()
     D = jax.device_count()
     assert D == 2 * nproc, D  # 2 local virtual devices per process

@@ -38,19 +38,12 @@ from ..spec.field import P
 from ..spec.poseidon import params_for_arity
 
 
-def initialize_distributed(coordinator_address: str | None = None,
-                           num_processes: int | None = None,
-                           process_id: int | None = None) -> None:
-    """Multi-host entry point: `jax.distributed.initialize` so
-    `make_mesh()` spans every global device; shard_map collectives then
-    ride ICI within a slice and DCN across hosts (SURVEY.md section 2
-    backend spec).  No-op for a single process.  The host-replicated FS
-    discipline (identical bytes in -> identical challenges out on every
-    process) is what makes the SPMD prover correct across hosts."""
-    if not num_processes or num_processes == 1:
-        return
-    jax.distributed.initialize(coordinator_address, num_processes,
-                               process_id)
+# Multi-host entry point; lives in `stark_mlwe_tpu.distributed` (a module
+# with no device-touching imports, so it can run BEFORE backend init —
+# importing this package creates device constants).  Re-exported here for
+# API continuity; multi-process launchers must import the thin module
+# first (see scripts/distributed_smoke.py).
+from ..distributed import initialize_distributed  # noqa: F401
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
