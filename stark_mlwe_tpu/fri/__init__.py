@@ -41,6 +41,32 @@ from . import deep_ali as dali
 from . import fs
 
 
+class ChunkedRows:
+    """A logically-[n, 16] Montgomery array held as a list of row chunks,
+    each its own device buffer.
+
+    The axon remote wedges on single device buffers >= 32 MiB (see
+    CLAUDE.md); at k >= 19 the layer-0 vectors (f0, s0, leaf digests)
+    cross that, so they live as <= 2^18-row chunks.  Only duck-typed
+    surface the prover touches is provided: `.shape`, per-chunk access,
+    and gather support in GatherBatch.
+    """
+
+    def __init__(self, chunks):
+        self.chunks = list(chunks)
+        self.S = int(self.chunks[0].shape[0])
+        assert all(int(c.shape[0]) == self.S for c in self.chunks[:-1])
+        n = sum(int(c.shape[0]) for c in self.chunks)
+        self.shape = (n, fr.N)
+
+
+def chunk_rows() -> int:
+    """Rows per device chunk for huge layer-0 arrays (env override for
+    tests)."""
+    import os
+    return int(os.environ.get("STARK_CHUNK_ROWS", str(1 << 18)))
+
+
 class HostFieldView:
     """Lazy canonical-int view of a device Montgomery array [n,16].
 
@@ -58,7 +84,13 @@ class HostFieldView:
 
     def _mat(self):
         if self._ints is None:
-            self._ints = fr.unpack_ints(fr.from_mont(self.dev))
+            if isinstance(self.dev, ChunkedRows):
+                out = []
+                for c in self.dev.chunks:
+                    out.extend(fr.unpack_ints(fr.from_mont(c)))
+                self._ints = out
+            else:
+                self._ints = fr.unpack_ints(fr.from_mont(self.dev))
         return self._ints
 
     def __getitem__(self, i):
@@ -76,15 +108,31 @@ class HostFieldView:
 class GatherBatch:
     """Accumulates (array, indices) gathers and resolves them in ONE
     device->host round trip (a remote-attached TPU pays ~50 ms per sync).
-    Index lists are padded to powers of two for shape reuse."""
+    Index lists are padded to powers of two for shape reuse.  ChunkedRows
+    arrays split into per-chunk physical gathers transparently."""
 
     def __init__(self):
-        self._items = []
+        self._phys = []      # (array, [row indices])
+        self._logical = []   # ("p", phys_ix) | ("c", count, [(pix, [out positions])])
 
     def add(self, arr, indices) -> int:
         """Queue a gather; returns a handle."""
-        self._items.append((arr, [int(i) for i in indices]))
-        return len(self._items) - 1
+        idxs = [int(i) for i in indices]
+        if isinstance(arr, ChunkedRows):
+            per: dict = {}
+            for j, i in enumerate(idxs):
+                per.setdefault(i // arr.S, []).append((j, i % arr.S))
+            subs = []
+            for c in sorted(per):
+                items = per[c]
+                pix = len(self._phys)
+                self._phys.append((arr.chunks[c], [i for _, i in items]))
+                subs.append((pix, [j for j, _ in items]))
+            self._logical.append(("c", len(idxs), subs))
+        else:
+            self._logical.append(("p", len(self._phys)))
+            self._phys.append((arr, idxs))
+        return len(self._logical) - 1
 
     def run(self):
         """Resolves all gathers; returns list of int lists per handle.
@@ -93,7 +141,7 @@ class GatherBatch:
         (pytree-cached by array shapes): each eager dispatch on a
         remote-attached device costs ~ms, and a query pass queues ~30."""
         arrs, idx_devs, lens = [], [], []
-        for arr, idxs in self._items:
+        for arr, idxs in self._phys:
             g = max(len(idxs), 1)
             gp = 1
             while gp < g:
@@ -104,11 +152,21 @@ class GatherBatch:
             lens.append(gp)
         bundle = _gather_bundle(tuple(arrs), tuple(idx_devs))
         ints = fr.unpack_ints(bundle)
-        out = []
+        phys_res = []
         off = 0
-        for gp, (_, idxs) in zip(lens, self._items):
-            out.append(ints[off:off + len(idxs)])
+        for gp, (_, idxs) in zip(lens, self._phys):
+            phys_res.append(ints[off:off + len(idxs)])
             off += gp
+        out = []
+        for ent in self._logical:
+            if ent[0] == "p":
+                out.append(phys_res[ent[1]])
+            else:
+                vals = [None] * ent[1]
+                for pix, pos in ent[2]:
+                    for j, v in zip(pos, phys_res[pix]):
+                        vals[j] = v
+                out.append(vals)
         return out
 
 
@@ -217,6 +275,49 @@ def _transcript_builder(n0: int, schedule: tuple):
     return jax.jit(fn)
 
 
+def _commit_layer0_chunked(f0: ChunkedRows, n0: int, m0: int, z0: int):
+    """Layer-0 fold + s-layer + commit with every device buffer one
+    chunk wide (<= chunk_rows() rows): per-chunk folds concatenate into
+    the (single-buffer) f1, s/leaf/level-1 hashing runs chunk by chunk
+    with GLOBAL DS positions, and levels >= 1 continue on the normal
+    single-array path.  Proof bytes are identical to the single-array
+    prover (all hashing is position-based).  Returns (commitment, f1)."""
+    from ..spec.merkle import LEAF_LEVEL_DS
+    from ..ops import poseidon as dpos
+
+    S = f0.S
+    arity0 = pick_arity_for_layer(n0, m0)
+    hashed0 = use_hashed_leaves(arity0)
+    cfg0 = MerkleChannelCfg.new(arity0, tree_label=0)
+    assert S % m0 == 0 and S % arity0 == 0
+    f1 = jnp.concatenate([fold_layer_dev(ch, z0, m0) for ch in f0.chunks],
+                         axis=0)
+    Sm, Sa = S // m0, S // arity0
+    dp0 = dpos.device_params(cfg0.params)
+    s_chunks, leaf_chunks, lvl1_parts = [], [], []
+    for c, ch in enumerate(f0.chunks):
+        f1_win = f1[c * Sm:(c + 1) * Sm]
+        s_c = jnp.broadcast_to(f1_win[:, None, :],
+                               (Sm, m0, fr.N)).reshape(S, fr.N)
+        s_chunks.append(s_c)
+        if hashed0:
+            leaf_c = fs.hash_leaf_pairs_dev(ch, s_c)
+        else:
+            ds = dmk._ds_rows_iota(arity0, LEAF_LEVEL_DS, S, 0, c * S)
+            leaf_c = dmk._hash_level_ds(
+                ds, jnp.stack([ch, s_c], axis=1), dp0)
+        leaf_chunks.append(leaf_c)
+        lvl1_parts.append(dmk.hash_level_chunk(leaf_c, cfg0, 0, c * Sa))
+    lvl1 = jnp.concatenate(lvl1_parts, axis=0)
+    levels = [ChunkedRows(leaf_chunks)] + dmk.build_levels_from(lvl1, cfg0,
+                                                               1)
+    tree = dmk.DeviceMerkleTree(levels, arity0, cfg=cfg0)
+    com = FriLayerCommitment(n0, m0, None, HostFieldView(f0),
+                             HostFieldView(ChunkedRows(s_chunks)),
+                             hashed0, tree, cfg0)
+    return com, f1
+
+
 def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
                              seed_z: int) -> FriProverState:
     """fri.rs:231-312 with device folds/commits; FS sampling on host."""
@@ -227,6 +328,32 @@ def fri_build_transcript_dev(f0_dev, domain0: FriDomain, schedule,
         z_layers.append(fri_sample_z_ell(seed_z, ell, cur_size))
         omega_layers.append(get_root_of_unity(cur_size))
         cur_size //= m
+
+    if isinstance(f0_dev, ChunkedRows):
+        lay0, f1 = _commit_layer0_chunked(f0_dev, domain0.size,
+                                          schedule[0], z_layers[0])
+        f_layers = [f0_dev, f1]
+        cur = f1
+        for ell in range(1, L):
+            cur = fold_layer_dev(cur, z_layers[ell], schedule[ell])
+            f_layers.append(cur)
+        s_layers = [lay0.s.dev] + [
+            s_layer_dev(f_layers[ell], f_layers[ell + 1], schedule[ell])
+            for ell in range(1, L)]
+        s_layers.append(jnp.zeros_like(f_layers[L]))
+        layers = [lay0]
+        for ell in range(1, L + 1):
+            m_ell = schedule[ell] if ell < L else 1
+            layers.append(commit_layer_device(
+                ell, int(f_layers[ell].shape[0]), m_ell,
+                f_layers[ell], s_layers[ell], defer_root=True))
+        from ..utils import phase_timer
+        with phase_timer("fri/roots_readback"):
+            _roots_readback(layers)
+        return FriProverState([lay.f for lay in layers],
+                              [lay.s for lay in layers],
+                              list(schedule), layers, omega_layers,
+                              z_layers)
 
     # The one-jit pipeline used to embed per-level DS rows as O(n)
     # program constants, which hung the remote XLA compile above 2^18;
@@ -360,33 +487,53 @@ class DeviceDeepAliRealBuilder:
             th = threading.Thread(
                 target=lambda: res.update(
                     h=fs.tagged_hash_cols_native(tags, host_cols)))
+            S = chunk_rows()
             with phase_timer("ali/column_hashes+overlap"):
                 th.start()
                 phi16 = (None if self.use_blinding
                          else native.phi_batch_u16(
                              [native.u32limbs_to_u64(c)
                               for c in host_cols]))
-                if phi16 is not None:
+                chunked = (phi16 is not None and n0 > S and n0 % S == 0)
+                if chunked:
+                    # huge n0: per-chunk uploads + omega windows (single
+                    # >= 32 MiB buffers wedge the axon remote)
+                    pows = dali.omega_powers(domain.omega, S)
+                    phi_chunks, w_chunks = [], []
+                    for c in range(n0 // S):
+                        base = jnp.asarray(fr.pack_int(
+                            pow(domain.omega, c * S, P), mont=True))
+                        w_chunks.append(fr.mont_mul(base[None, :], pows))
+                        phi_chunks.append(
+                            jnp.asarray(phi16[c * S:(c + 1) * S]))
+                    r_dev = None
+                elif phi16 is not None:
                     # host-merged phi: ONE half-width column upload
                     # instead of four full-width witness columns (the
                     # ~50 MB/s h2d tunnel made the uploads the bulk of
                     # this window at k >= 17)
                     phi0 = jnp.asarray(phi16)
+                    w = dali.omega_powers(domain.omega, n0)
                     r_dev = None
                 else:
                     a_d, s_d, e_d, t_d = (jnp.asarray(c)
                                           for c in host_cols)
                     phi0 = dali.phi_kernel(a_d, s_d, e_d, t_d)
+                    w = dali.omega_powers(domain.omega, n0)
                     r_dev = (_as_mont_dev(self.r_eval_opt)
                              if (self.use_blinding
                                  and self.r_eval_opt is not None)
                              else None)
-                w = dali.omega_powers(domain.omega, n0)
                 th.join()
             ha, hs, he, ht = res["h"]
             seed_f = fs.one_block_tagged_hash_batch(
                 b"ALI/seed", [[ha, hs, he, ht, n0 % P]])[0]
             z, beta = ali_sample_z_beta_fs(self.ds_tag, n0, seed_f)
+            if chunked:
+                z_m = jnp.asarray(fr.pack_int(z, mont=True))
+                return ChunkedRows([dali._f0_quotient(p, w_c, z_m)
+                                    for p, w_c in zip(phi_chunks,
+                                                      w_chunks)])
             return dali.f0_from_phi(
                 phi0, w, z, beta=beta,
                 r_eval=r_dev if self.use_blinding else None)

@@ -66,8 +66,9 @@ def _hash_level_ds(ds_rows, chunks, dp):
 from functools import lru_cache
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _ds_rows_iota(arity: int, level: int, g: int, tree_label: int):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _ds_rows_iota(arity: int, level: int, g: int, tree_label: int,
+                  start: int = 0):
     """[g, 4, 16] Montgomery DS preambles computed ON DEVICE from an iota.
 
     The only non-constant column is the position; building it from
@@ -77,7 +78,7 @@ def _ds_rows_iota(arity: int, level: int, g: int, tree_label: int):
     was what hung the remote XLA compile above n0=2^18.  Eager large
     builds also skip the tens-of-MB host build + upload per call."""
     consts = fr.pack_ints([arity, level, tree_label], mont=True)
-    i = jnp.arange(g, dtype=fr.U32)
+    i = jnp.arange(start, start + g, dtype=fr.U32)
     zero = jnp.zeros_like(i)
     pos = jnp.stack([i & jnp.uint32(0xFFFF), i >> jnp.uint32(16)]
                     + [zero] * (fr.N - 2), axis=-1)
@@ -224,15 +225,15 @@ class DeviceMerkleTree:
 # Builders.
 # ---------------------------------------------------------------------------
 
-def build_tree(leaves_mont, cfg: MerkleChannelCfg) -> DeviceMerkleTree:
-    """Single-column DS-aware tree (merkle/src/lib.rs:147-193)."""
-    assert width_for_arity(cfg.arity) == cfg.params.t
+def build_levels_from(cur, cfg: MerkleChannelCfg, level_start: int):
+    """Hash levels upward from an arbitrary tree level: `cur` holds the
+    nodes of level `level_start` (global positions 0..); returns the list
+    of device level arrays from `cur` to the root."""
     dp = dpos.device_params(cfg.params)
     arity = cfg.arity
-    traced = isinstance(leaves_mont, jax.core.Tracer)
-    levels = [leaves_mont]
-    level = 0
-    cur = leaves_mont
+    traced = isinstance(cur, jax.core.Tracer)
+    levels = [cur]
+    level = level_start
     while cur.shape[0] > 1:
         n = int(cur.shape[0])
         full = n // arity
@@ -248,7 +249,29 @@ def build_tree(leaves_mont, cfg: MerkleChannelCfg) -> DeviceMerkleTree:
         cur = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         levels.append(cur)
         level += 1
-    return DeviceMerkleTree(levels, arity, cfg=cfg)
+    return levels
+
+
+def hash_level_chunk(node_chunk, cfg: MerkleChannelCfg, level: int,
+                     parent_start: int):
+    """One level's parent hashes for a CHUNK of `arity`-aligned nodes
+    whose first parent has global position `parent_start` (the chunked
+    layer-0 commit path: single buffers >= 32 MiB wedge the axon remote,
+    so huge leaf levels hash chunk by chunk)."""
+    dp = dpos.device_params(cfg.params)
+    arity = cfg.arity
+    n = int(node_chunk.shape[0])
+    assert n % arity == 0
+    g = n // arity
+    ds = _ds_rows_iota(arity, level, g, cfg.tree_label, parent_start)
+    return _hash_level_ds(ds, node_chunk.reshape(g, arity, fr.N), dp)
+
+
+def build_tree(leaves_mont, cfg: MerkleChannelCfg) -> DeviceMerkleTree:
+    """Single-column DS-aware tree (merkle/src/lib.rs:147-193)."""
+    assert width_for_arity(cfg.arity) == cfg.params.t
+    levels = build_levels_from(leaves_mont, cfg, 0)
+    return DeviceMerkleTree(levels, cfg.arity, cfg=cfg)
 
 
 def hash_pair_leaves(f_mont, cp_mont, cfg: MerkleChannelCfg):

@@ -171,3 +171,22 @@ def test_e2e_mock_builder_matches_spec():
     dev_proof = deep_fri_prove(DeviceDeepAliMock(), a, s, e, t, n0, params)
     _proofs_equal(dev_proof, spec_proof)
     assert deep_fri_verify(params, dev_proof)
+
+
+def test_e2e_chunked_layer0_proof_equals_spec(monkeypatch):
+    """n0 > STARK_CHUNK_ROWS routes layer 0 through the chunked
+    fold/commit path (per-chunk device buffers with GLOBAL DS positions;
+    the axon remote wedges on single >= 32 MiB buffers, so k >= 19 rides
+    this): proof bytes must be identical to the golden spec prover's."""
+    monkeypatch.setenv("STARK_CHUNK_ROWS", "64")
+    n0 = 1 << 9
+    a, s, e, t = (rand_elems(n0) for _ in range(4))
+    params = DeepFriParams(schedule=[16, 4], r=8, seed_z=0xDEEF_BAAD)
+
+    spec_proof = sfri.deep_fri_prove(
+        sfri.DeepAliRealBuilder(), a, s, e, t, n0, params)
+    dev_proof = deep_fri_prove(
+        DeviceDeepAliRealBuilder(), a, s, e, t, n0, params)
+    _proofs_equal(dev_proof, spec_proof)
+    assert deep_fri_verify(params, dev_proof)
+    assert sfri.deep_fri_verify(params, dev_proof)
