@@ -112,40 +112,37 @@ def main():
     assert ok
     emit("merkle_open_verify_q64_ms", ov_ms, "ms")
 
-    # --- NTT throughput --------------------------------------------------
-    m = 1 << 20
-    x = rand_mont(m)
-    y = ntt.ntt(x)
-    sync(y)
-    t0 = time.perf_counter()
-    y = ntt.ntt(x)
-    sync(y)
-    dt = time.perf_counter() - t0
-    emit("ntt_2e20_elems_per_s", m / dt, "elems/s")
-    emit("ntt_2e20_s", dt, "s")
-    emit("ntt_2e20_field_muls_per_s",
-         roofline.ntt_rates(m, dt)["field_muls_per_s"], "muls/s")
+    # --- NTT throughput (chunked I/O: the axon remote wedges on client
+    # buffers >= 32 MiB, so 2^20+ transforms cross the boundary in
+    # <= 2^18-row pieces; the transform itself is ONE jit) -------------
+    S = 1 << 18
 
-    # --- north-star-scale NTT + LDE (BASELINE config 2) ------------------
-    m = 1 << 22
-    x = rand_mont(m)
-    y = ntt.ntt(x)
-    sync(y)
-    t0 = time.perf_counter()
-    y = ntt.ntt(x)
-    sync(y)
-    dt = time.perf_counter() - t0
-    emit("ntt_2e22_elems_per_s", m / dt, "elems/s")
-    emit("ntt_2e22_s", dt, "s")
-    emit("ntt_2e22_field_muls_per_s",
-         roofline.ntt_rates(m, dt)["field_muls_per_s"], "muls/s")
+    def rand_chunks(n):
+        if n <= S:
+            return [rand_mont(n)]
+        return [rand_mont(S) for _ in range(n // S)]
 
-    xl = x[:1 << 20]
-    yl = ntt.lde(xl, 4)  # iNTT 2^20 -> zero-pad -> NTT 2^22
-    sync(yl)
+    for logm in (20, 22):
+        m = 1 << logm
+        xs = rand_chunks(m)
+        ys = ntt.ntt_chunked(xs)
+        sync(ys[-1])
+        t0 = time.perf_counter()
+        ys = ntt.ntt_chunked(xs)
+        sync(ys[-1])
+        dt = time.perf_counter() - t0
+        emit(f"ntt_2e{logm}_elems_per_s", m / dt, "elems/s")
+        emit(f"ntt_2e{logm}_s", dt, "s")
+        emit(f"ntt_2e{logm}_field_muls_per_s",
+             roofline.ntt_rates(m, dt)["field_muls_per_s"], "muls/s")
+
+    # --- LDE blowup 4 on 2^20 (output 2^22; BASELINE config 2) ----------
+    xs4 = rand_chunks(1 << 20)
+    ys = ntt.lde_chunked(xs4, 4)
+    sync(ys[-1])
     t0 = time.perf_counter()
-    yl = ntt.lde(xl, 4)
-    sync(yl)
+    ys = ntt.lde_chunked(xs4, 4)
+    sync(ys[-1])
     dt = time.perf_counter() - t0
     emit("lde_2e20_blowup4_s", dt, "s")
     emit("lde_2e20_blowup4_out_elems_per_s", (1 << 22) / dt, "elems/s")

@@ -189,6 +189,99 @@ def intt(x):
     return ntt(x, inverse=True)
 
 
+# ---------------------------------------------------------------------------
+# Chunked-I/O wrappers: the transform runs as ONE jit (Pallas route when
+# supported), but client-visible inputs/outputs stay <= chunk-sized
+# buffers.  The axon remote wedges on eager in/out buffers >= 32 MiB
+# while XLA-INTERNAL intermediates of any size are fine, so 2^20..2^22
+# transforms must cross the client boundary in pieces.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _ntt_chunked_jit(n: int, S: int, inverse: bool, pallas: bool):
+    def fn(chs):
+        x = jnp.concatenate(chs, axis=0)
+        if pallas:
+            from . import ntt_pallas
+            y = ntt_pallas.ntt(x, inverse)
+        else:
+            rev, tws = _plan(n, inverse)
+            y = jnp.take(x, rev, axis=0)
+            y = _butterflies(y, tws)
+            if inverse:
+                n_inv = pow(n % P, P - 2, P)
+                y = fr.mont_mul(
+                    y, jnp.asarray(fr.pack_int(n_inv, mont=True))[None, :])
+        return tuple(y[i * S:(i + 1) * S] for i in range(n // S))
+
+    return jax.jit(fn)
+
+
+def ntt_chunked(chunks, inverse: bool = False,
+                use_pallas: bool | None = None):
+    """NTT of the logical concatenation of `chunks` (equal [S,16] rows),
+    returned as same-shape chunks.  Bit-exact with `ntt`."""
+    S = int(chunks[0].shape[0])
+    n = sum(int(c.shape[0]) for c in chunks)
+    assert n % S == 0
+    if use_pallas is None:
+        from . import poseidon as dpos
+        from . import ntt_pallas
+        use_pallas = (dpos._pallas_enabled()
+                      and ntt_pallas.pallas_ntt_supported(n))
+    return list(_ntt_chunked_jit(n, S, inverse, bool(use_pallas))(
+        tuple(chunks)))
+
+
+@lru_cache(maxsize=None)
+def _lde_chunked_jit(n: int, S: int, blowup: int, coset_shift,
+                     pallas: bool):
+    def fn(chs):
+        x = jnp.concatenate(chs, axis=0)
+        if pallas:
+            from . import ntt_pallas
+            coeffs = ntt_pallas.ntt(x, True)
+        else:
+            rev, tws = _plan(n, True)
+            coeffs = _butterflies(jnp.take(x, rev, axis=0), tws)
+            n_inv = pow(n % P, P - 2, P)
+            coeffs = fr.mont_mul(
+                coeffs, jnp.asarray(fr.pack_int(n_inv, mont=True))[None, :])
+        if coset_shift is not None:
+            sh = fr.powers(jnp.asarray(fr.pack_int(coset_shift, mont=True)),
+                           n)
+            coeffs = fr.mont_mul(coeffs, sh)
+        m = n * blowup
+        if blowup > 1:
+            coeffs = jnp.concatenate(
+                [coeffs, jnp.zeros(((blowup - 1) * n, fr.N), dtype=fr.U32)],
+                axis=0)
+        if pallas:
+            from . import ntt_pallas
+            y = ntt_pallas.ntt(coeffs, False)
+        else:
+            rev, tws = _plan(m, False)
+            y = _butterflies(jnp.take(coeffs, rev, axis=0), tws)
+        return tuple(y[i * S:(i + 1) * S] for i in range(m // S))
+
+    return jax.jit(fn)
+
+
+def lde_chunked(chunks, blowup: int, coset_shift: int | None = None,
+                use_pallas: bool | None = None):
+    """`lde` with chunked in/out (output has n*blowup/S chunks)."""
+    S = int(chunks[0].shape[0])
+    n = sum(int(c.shape[0]) for c in chunks)
+    if use_pallas is None:
+        from . import poseidon as dpos
+        from . import ntt_pallas
+        use_pallas = (dpos._pallas_enabled()
+                      and ntt_pallas.pallas_ntt_supported(n)
+                      and ntt_pallas.pallas_ntt_supported(n * blowup))
+    return list(_lde_chunked_jit(n, S, blowup, coset_shift,
+                                 bool(use_pallas))(tuple(chunks)))
+
+
 def lde(values, blowup: int, coset_shift: int | None = None):
     """Low-degree extension: evaluations on H (size n) -> evaluations on a
     (coset of a) domain of size n*blowup.

@@ -138,3 +138,26 @@ def test_pallas_ntt_interpret_matches_xla():
         got = ntt_pallas.ntt(x, inverse=inverse, interpret=True)
         import numpy as np
         assert np.array_equal(np.asarray(got), np.asarray(want)), inverse
+
+
+def test_ntt_chunked_matches_single():
+    """Chunked-I/O wrapper (ops.ntt.ntt_chunked / lde_chunked) vs the
+    single-array transforms: same values, split boundaries only."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    n, S = 1 << 13, 1 << 11
+    c = rand_elems(n)
+    x = dev(c)
+    chunks = [x[i * S:(i + 1) * S] for i in range(n // S)]
+    for inverse in (False, True):
+        want = ntt.ntt(x, inverse=inverse, use_pallas=False)
+        got = jnp.concatenate(
+            ntt.ntt_chunked(chunks, inverse=inverse, use_pallas=False),
+            axis=0)
+        assert np.array_equal(np.asarray(got), np.asarray(want)), inverse
+    want = ntt.lde(x, 2)
+    got = jnp.concatenate(ntt.lde_chunked(chunks, 2, use_pallas=False),
+                          axis=0)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
