@@ -111,6 +111,30 @@ def csv_line(label, k, schedule, proof_bytes, prove_s, verify_ms,
             f"{d[3]:.2f}")
 
 
+def packed_witness(label: str, k: int, seed: int):
+    """The four witness columns as [n,16] Montgomery uint32 limb arrays
+    (host packing: uploaded to device AND fed to the native C++ absorb
+    chains).  With BENCH_WITNESS_CACHE=<dir> set, packings persist as
+    .npy so the minutes of Python generation at k >= 19 are paid once
+    (generation is deterministic in (label, k))."""
+    import os
+
+    import numpy as np
+
+    cache_dir = os.environ.get("BENCH_WITNESS_CACHE")
+    path = (os.path.join(cache_dir, f"wit_{label}_{k}_{seed:x}.npy")
+            if cache_dir else None)
+    if path and os.path.exists(path):
+        arr = np.load(path)
+        return [arr[i] for i in range(4)]
+    from ..ops import fr
+    cols = [fr.pack_ints(c, mont=True) for c in gen_witness(k, seed)]
+    if path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(path, np.stack(cols, axis=0))
+    return cols
+
+
 def warm_retry(fn, *args, attempts: int = 4):
     """Run a warmup/compile call, retrying transient axon-tunnel failures
     (remote_compile / HTTP 5xx / UNAVAILABLE — documented flaky; a retry
@@ -158,13 +182,7 @@ def run_mf_fri(label: str, k: int, warmup: bool = True,
 
     schedule = dict(PRESETS)[label]
     seed = witness_seed_for(label, k)
-    a, s, e, t = gen_witness(k, seed)
-    # host mont-limb packing: uploaded to device AND used by the native
-    # C++ absorb chains for the ALI column hashes
-    da = fr.pack_ints(a, mont=True)
-    ds_ = fr.pack_ints(s, mont=True)
-    de = fr.pack_ints(e, mont=True)
-    dt_ = fr.pack_ints(t, mont=True)
+    da, ds_, de, dt_ = packed_witness(label, k, seed)
     params = DeepFriParams(schedule=list(schedule), r=R_QUERIES,
                            seed_z=SEED_Z)
     builder = DeviceDeepAliRealBuilder()
