@@ -624,6 +624,8 @@ def _mf_download(layers, trees, cpairs):
 
 
 def prove_mf(vk: VK, witness) -> ProofMF:
+    from ..utils import phase_timer
+
     assert vk.variant == "mf"
     chan = ProverChannel(FastTranscript(b"E2E/MF"))
     cfg = SumCheckMFConfig(vk.queries_per_round)
@@ -631,8 +633,11 @@ def prove_mf(vk: VK, witness) -> ProofMF:
            else DeviceMLE.from_ints(list(witness)))
     mcfg = MerkleChannelCfg(vk.tree_label)
     scheme = _scheme(mcfg)
-    layers, trees, cpairs = _mf_chain_device(mle, scheme._tree_cfg(), vk.k)
-    cints = _mf_download(layers, trees, cpairs)
+    with phase_timer("mf/chain_device"):
+        layers, trees, cpairs = _mf_chain_device(mle, scheme._tree_cfg(),
+                                                 vk.k)
+    with phase_timer("mf/download"):
+        cints = _mf_download(layers, trees, cpairs)
 
     # Host Fiat-Shamir assembly, byte-identical to SumCheckMFProver's
     # absorb discipline; all data answered from the primed host caches.
@@ -643,37 +648,38 @@ def prove_mf(vk: VK, witness) -> ProofMF:
     chan.tr.absorb_field(s_claim)
 
     rounds = []
-    for i in range(vk.k):
-        c0, c1 = cints[i]
-        t = chan.tr
-        t.absorb_bytes(b"SUMCHECK/MF/ROUND")
-        t.absorb_bytes(i.to_bytes(8, "little"))
-        t.absorb_bytes(b"COEFF/c0")
-        t.absorb_field(c0)
-        t.absorb_bytes(b"COEFF/c1")
-        t.absorb_field(c1)
-        next_root = trees[i + 1].root()
-        chan.send_digest(b"sumcheck-mf/root/next", next_root)
+    with phase_timer("mf/host_assembly"):
+      for i in range(vk.k):
+          c0, c1 = cints[i]
+          t = chan.tr
+          t.absorb_bytes(b"SUMCHECK/MF/ROUND")
+          t.absorb_bytes(i.to_bytes(8, "little"))
+          t.absorb_bytes(b"COEFF/c0")
+          t.absorb_field(c0)
+          t.absorb_bytes(b"COEFF/c1")
+          t.absorb_field(c1)
+          next_root = trees[i + 1].root()
+          chan.send_digest(b"sumcheck-mf/root/next", next_root)
 
-        half = int(layers[i + 1].values_dev.shape[0])
-        qsorted = _sample_queries(chan, cfg, i, half)
-        cur_indices = []
-        for jj in qsorted:
-            cur_indices.extend((2 * jj, 2 * jj + 1))
-        cur_values = layers[i].value_at(cur_indices)
-        cur_proof = trees[i].open_many(cur_indices)
-        next_indices = list(qsorted)
-        next_values = layers[i + 1].value_at(next_indices)
-        next_proof = trees[i + 1].open_many(next_indices)
-        chan.send_opening(cur_indices, cur_values, cur_proof)
-        chan.send_opening(next_indices, next_values, next_proof)
+          half = int(layers[i + 1].values_dev.shape[0])
+          qsorted = _sample_queries(chan, cfg, i, half)
+          cur_indices = []
+          for jj in qsorted:
+              cur_indices.extend((2 * jj, 2 * jj + 1))
+          cur_values = layers[i].value_at(cur_indices)
+          cur_proof = trees[i].open_many(cur_indices)
+          next_indices = list(qsorted)
+          next_values = layers[i + 1].value_at(next_indices)
+          next_proof = trees[i + 1].open_many(next_indices)
+          chan.send_opening(cur_indices, cur_values, cur_proof)
+          chan.send_opening(next_indices, next_values, next_proof)
 
-        rounds.append(RoundMF(
-            fr_to_bytes(c0), fr_to_bytes(c1), fr_to_bytes(next_root),
-            cur_indices, [fr_to_bytes(v) for v in cur_values],
-            MerkleProofBytes.from_proof(cur_proof),
-            next_indices, [fr_to_bytes(v) for v in next_values],
-            MerkleProofBytes.from_proof(next_proof)))
+          rounds.append(RoundMF(
+              fr_to_bytes(c0), fr_to_bytes(c1), fr_to_bytes(next_root),
+              cur_indices, [fr_to_bytes(v) for v in cur_values],
+              MerkleProofBytes.from_proof(cur_proof),
+              next_indices, [fr_to_bytes(v) for v in next_values],
+              MerkleProofBytes.from_proof(next_proof)))
 
     final_eval = layers[vk.k].value_at([0])[0]
     chan.tr.absorb_bytes(b"SUMCHECK/MF/FINAL/EVAL")

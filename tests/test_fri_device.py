@@ -190,3 +190,19 @@ def test_e2e_chunked_layer0_proof_equals_spec(monkeypatch):
     _proofs_equal(dev_proof, spec_proof)
     assert deep_fri_verify(params, dev_proof)
     assert sfri.deep_fri_verify(params, dev_proof)
+
+
+def test_e2e_chunked_32ary_proof_equals_spec(monkeypatch):
+    """Chunked layer-0 with a 32-ary first fold (t=33 sponges,
+    hash_level_chunk at arity 32) stays byte-identical to the spec."""
+    monkeypatch.setenv("STARK_CHUNK_ROWS", "128")
+    n0 = 1 << 9
+    a, s, e, t = (rand_elems(n0) for _ in range(4))
+    params = DeepFriParams(schedule=[32, 4], r=6, seed_z=0xDEEF_BAAD)
+
+    spec_proof = sfri.deep_fri_prove(
+        sfri.DeepAliRealBuilder(), a, s, e, t, n0, params)
+    dev_proof = deep_fri_prove(
+        DeviceDeepAliRealBuilder(), a, s, e, t, n0, params)
+    _proofs_equal(dev_proof, spec_proof)
+    assert deep_fri_verify(params, dev_proof)
