@@ -303,7 +303,8 @@ def _commit_layer0_chunked(f0: ChunkedRows, n0: int, m0: int, z0: int):
         if hashed0:
             leaf_c = fs.hash_leaf_pairs_dev(ch, s_c)
         else:
-            ds = dmk._ds_rows_iota(arity0, LEAF_LEVEL_DS, S, 0, c * S)
+            ds = dmk._ds_rows_iota(arity0, LEAF_LEVEL_DS, S,
+                                   cfg0.tree_label, c * S)
             leaf_c = dmk._hash_level_ds(
                 ds, jnp.stack([ch, s_c], axis=1), dp0)
         leaf_chunks.append(leaf_c)
