@@ -174,11 +174,8 @@ def run_mf_fri(label: str, k: int, warmup: bool = True,
 
     Returns dict with prove_s, verify_ms, proof_bytes, proof object.
     """
-    import jax.numpy as jnp
-
     from ..fri import (DeviceDeepAliRealBuilder, deep_fri_prove,
                        deep_fri_verify)
-    from ..ops import fr
 
     schedule = dict(PRESETS)[label]
     seed = witness_seed_for(label, k)
