@@ -31,7 +31,28 @@ BASELINE_PROVE_S = {
 }
 
 
+def _arm_watchdog():
+    """The axon remote has been observed to wedge indefinitely on a
+    stuck request (CLAUDE.md landmine); abort with a diagnostic instead
+    of hanging the caller forever.  BENCH_WATCHDOG_S=0 disables."""
+    import signal
+
+    budget = int(os.environ.get("BENCH_WATCHDOG_S", "2700"))
+    if budget <= 0:
+        return
+
+    def _timeout(signum, frame):
+        print("# bench watchdog: no result within "
+              f"{budget}s (axon remote likely wedged); aborting",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(budget)
+
+
 def main():
+    _arm_watchdog()
     k = int(os.environ.get("BENCH_K", "16"))
     check_verify = os.environ.get("BENCH_VERIFY", "1") != "0"
 
