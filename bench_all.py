@@ -15,7 +15,7 @@ schedules; BENCH_NIZK=0 to skip the sum-check track.
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/stark_mlwe_jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax  # noqa: E402
 

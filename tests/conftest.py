@@ -38,5 +38,5 @@ else:
     # are cheap.
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/root/.cache/stark_mlwe_jax"))
+                                     "/root/repo/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
