@@ -623,7 +623,84 @@ def _mf_download(layers, trees, cpairs):
     return cints
 
 
+class _MFGatherCtx:
+    """Query-driven device gathers for MF proof assembly at large n.
+
+    `_mf_download` moves every tree level and every layer to the host
+    (~4.4*n rows): ~18 MiB over the tunnel plus ~1M host int conversions
+    at k=16 — the reason the MF k=16 prove was ~6x the k=14 one while
+    only ~2% of those rows end up in the proof.  This context keeps all
+    chain outputs on device in ONE concatenated buffer and, per round,
+    gathers only the queried values and union-of-paths siblings
+    (~200 rows) in a single fancy-index fetch."""
+
+    def __init__(self, layers, trees, cpairs):
+        self.layers, self.trees = layers, trees
+        arrays, off = [], 0
+        self.off = {}
+        for ti, t in enumerate(trees):
+            for li, lv in enumerate(t.levels_dev):
+                self.off[("t", ti, li)] = off
+                arrays.append(lv)
+                off += int(lv.shape[0])
+        for ci, (c0, c1) in enumerate(cpairs):
+            self.off[("c", ci)] = off
+            arrays.append(c0[None, :])
+            arrays.append(c1[None, :])
+            off += 2
+        for li, lay in enumerate(layers):
+            self.off[("l", li)] = off
+            arrays.append(lay.values_dev)
+            off += int(lay.values_dev.shape[0])
+        self.buf = jnp.concatenate(arrays, axis=0)
+
+    def _fetch(self, idx):
+        g = self.buf[jnp.asarray(idx, dtype=jnp.int32)]
+        return fr.unpack_ints(fr.from_mont(g))
+
+    def roots_and_cpairs(self, k: int):
+        idx = [self.off[("t", ti, len(self.trees[ti].levels_dev) - 1)]
+               for ti in range(k + 1)]
+        for ci in range(k):
+            idx.extend((self.off[("c", ci)], self.off[("c", ci)] + 1))
+        vals = self._fetch(idx)
+        roots = vals[:k + 1]
+        cints = [(vals[k + 1 + 2 * i], vals[k + 2 + 2 * i])
+                 for i in range(k)]
+        return roots, cints
+
+    def round_data(self, i: int, cur_indices, next_indices):
+        """(cur_values, cur_proof, next_values, next_proof) for round i,
+        via one device gather."""
+        tc, tn = self.trees[i], self.trees[i + 1]
+        pc, pn = tc.open_plan(cur_indices), tn.open_plan(next_indices)
+        idx = [self.off[("l", i)] + j for j in cur_indices]
+        idx += [self.off[("l", i + 1)] + j for j in next_indices]
+        for level, idxs in enumerate(pc[1]):
+            idx += [self.off[("t", i, level)] + j for j in idxs]
+        for level, idxs in enumerate(pn[1]):
+            idx += [self.off[("t", i + 1, level)] + j for j in idxs]
+        vals = self._fetch(idx)
+        p = len(cur_indices)
+        cur_values, p2 = vals[:p], p + len(next_indices)
+        next_values = vals[p:p2]
+        sib_c, sib_n, off = [], [], p2
+        for idxs in pc[1]:
+            sib_c.append(vals[off:off + len(idxs)])
+            off += len(idxs)
+        for idxs in pn[1]:
+            sib_n.append(vals[off:off + len(idxs)])
+            off += len(idxs)
+        return (cur_values, tc.open_from_plan(pc, sib_c),
+                next_values, tn.open_from_plan(pn, sib_n))
+
+    def final_eval(self, k: int):
+        return self._fetch([self.off[("l", k)]])[0]
+
+
 def prove_mf(vk: VK, witness) -> ProofMF:
+    import os as _os
+
     from ..utils import phase_timer
 
     assert vk.variant == "mf"
@@ -636,12 +713,21 @@ def prove_mf(vk: VK, witness) -> ProofMF:
     with phase_timer("mf/chain_device"):
         layers, trees, cpairs = _mf_chain_device(mle, scheme._tree_cfg(),
                                                  vk.k)
-    with phase_timer("mf/download"):
-        cints = _mf_download(layers, trees, cpairs)
+    n = int(mle.values_dev.shape[0])
+    ctx = None
+    if n >= int(_os.environ.get("STARK_MF_GATHER_MIN_N", str(1 << 14))):
+        with phase_timer("mf/gather_ctx"):
+            ctx = _MFGatherCtx(layers, trees, cpairs)
+            roots, cints = ctx.roots_and_cpairs(vk.k)
+        initial_root = roots[0]
+    else:
+        with phase_timer("mf/download"):
+            cints = _mf_download(layers, trees, cpairs)
+        initial_root = trees[0].root()
 
     # Host Fiat-Shamir assembly, byte-identical to SumCheckMFProver's
-    # absorb discipline; all data answered from the primed host caches.
-    initial_root = trees[0].root()
+    # absorb discipline; all data answered from the primed host caches
+    # (small n) or per-round device gathers (large n).
     chan.send_digest(b"sumcheck-mf/root/0", initial_root)
     s_claim = (2 * cints[0][0] + cints[0][1]) % P   # sum = 2*c0 + c1
     chan.tr.absorb_bytes(b"SUMCHECK/MF/CLAIM")
@@ -658,7 +744,7 @@ def prove_mf(vk: VK, witness) -> ProofMF:
           t.absorb_field(c0)
           t.absorb_bytes(b"COEFF/c1")
           t.absorb_field(c1)
-          next_root = trees[i + 1].root()
+          next_root = roots[i + 1] if ctx is not None else trees[i + 1].root()
           chan.send_digest(b"sumcheck-mf/root/next", next_root)
 
           half = int(layers[i + 1].values_dev.shape[0])
@@ -666,11 +752,15 @@ def prove_mf(vk: VK, witness) -> ProofMF:
           cur_indices = []
           for jj in qsorted:
               cur_indices.extend((2 * jj, 2 * jj + 1))
-          cur_values = layers[i].value_at(cur_indices)
-          cur_proof = trees[i].open_many(cur_indices)
           next_indices = list(qsorted)
-          next_values = layers[i + 1].value_at(next_indices)
-          next_proof = trees[i + 1].open_many(next_indices)
+          if ctx is not None:
+              cur_values, cur_proof, next_values, next_proof = \
+                  ctx.round_data(i, cur_indices, next_indices)
+          else:
+              cur_values = layers[i].value_at(cur_indices)
+              cur_proof = trees[i].open_many(cur_indices)
+              next_values = layers[i + 1].value_at(next_indices)
+              next_proof = trees[i + 1].open_many(next_indices)
           chan.send_opening(cur_indices, cur_values, cur_proof)
           chan.send_opening(next_indices, next_values, next_proof)
 
@@ -681,7 +771,8 @@ def prove_mf(vk: VK, witness) -> ProofMF:
               next_indices, [fr_to_bytes(v) for v in next_values],
               MerkleProofBytes.from_proof(next_proof)))
 
-    final_eval = layers[vk.k].value_at([0])[0]
+    final_eval = (ctx.final_eval(vk.k) if ctx is not None
+                  else layers[vk.k].value_at([0])[0])
     chan.tr.absorb_bytes(b"SUMCHECK/MF/FINAL/EVAL")
     chan.tr.absorb_field(final_eval)
     return ProofMF(fr_to_bytes(initial_root), rounds,
